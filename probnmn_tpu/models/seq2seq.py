@@ -1,0 +1,197 @@
+r"""
+TPU-native attentive seq2seq LSTM — the shared stack under ProgramGenerator and
+QuestionReconstructor.
+
+Reproduces the semantics of the reference's ``Seq2SeqBase`` (an AllenNLP
+``SimpleSeq2Seq`` subclass, reference ``probnmn/modules/seq2seq_base.py``):
+
+- encoder: source embedding (pad row zero) -> masked multi-layer LSTM,
+- decoder init: hidden = final encoder state of top layer, context = zeros
+  (``SimpleSeq2Seq._init_decoder_state``),
+- per decode step: embed last token, dot-product attention of the *previous* decoder
+  hidden over encoder outputs (masked softmax), LSTMCell over
+  ``concat(attended, embedded)``, linear projection to target vocab
+  (``SimpleSeq2Seq._prepare_output_projections``),
+- greedy argmax or categorical sampling with @@PADDING@@/@@UNKNOWN@@/@start@ blocked;
+  step log-probs gathered from the *unblocked* full log-softmax
+  (reference ``seq2seq_base.py:203-225``),
+- free-running loss = length-normalized negative logprob of sampled tokens after
+  @end@-trimming; teacher-forced loss = per-example masked sequence cross entropy with
+  the shifted-target scheme (reference ``seq2seq_base.py:235-254``, ``295-341``).
+
+The whole decode is a single ``lax.scan`` — no Python per-timestep loop, no
+host round-trips; trimming is a vectorized mask.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from probnmn_tpu.ops import rnn
+from probnmn_tpu.ops.common import (
+    add_boundary,
+    embed,
+    init_embedding,
+    init_linear,
+    length_normalized_logprob_loss,
+    linear,
+    masked_softmax,
+    sample_with_blocked_tokens,
+    sequence_cross_entropy,
+    trim_at_end,
+)
+
+GREEDY = "greedy"
+SAMPLING = "sampling"
+
+
+@dataclass(frozen=True)
+class Seq2SeqSpec:
+    r"""Static architecture/vocabulary facts (hashable; safe to close over in jit)."""
+    source_vocab_size: int
+    target_vocab_size: int
+    input_size: int = 256
+    hidden_size: int = 256
+    num_layers: int = 2
+    dropout: float = 0.0
+    max_decoding_steps: int = 30
+    pad_index: int = 0
+    unk_index: int = 1
+    start_index: int = 2
+    end_index: int = 3
+
+
+def init_seq2seq_params(key: jax.Array, spec: Seq2SeqSpec) -> Dict[str, Any]:
+    k_src, k_enc, k_tgt, k_cell, k_proj = jax.random.split(key, 5)
+    return {
+        # Source embedding has a zeroed pad row (allennlp Embedding(padding_index=0));
+        # the target embedder in SimpleSeq2Seq has no padding handling.
+        "source_embedding": init_embedding(
+            k_src, spec.source_vocab_size, spec.input_size, pad_index=spec.pad_index
+        ),
+        "encoder": rnn.init_lstm_params(
+            k_enc, spec.input_size, spec.hidden_size, spec.num_layers
+        ),
+        "target_embedding": init_embedding(k_tgt, spec.target_vocab_size, spec.input_size),
+        # Decoder cell input = concat(attended_context[H], embedded_token[D]).
+        "decoder_cell": rnn.init_lstm_cell_params(
+            k_cell, spec.hidden_size + spec.input_size, spec.hidden_size
+        ),
+        "output_projection": init_linear(
+            k_proj, spec.hidden_size, spec.target_vocab_size, bias=True
+        ),
+    }
+
+
+def _encode(params: Dict[str, Any], spec: Seq2SeqSpec, source_tokens: jax.Array):
+    r"""Boundary-add, strip @start@, embed, run masked encoder (reference forward:127-145)."""
+    source = add_boundary(source_tokens, spec.pad_index, spec.start_index, spec.end_index)
+    source = source[:, 1:]  # "@start@" is removed from source sequences
+    source_mask = source != spec.pad_index
+    embedded = embed(params["source_embedding"], source, pad_index=spec.pad_index)
+    encoder_outputs, finals = rnn.lstm_encode(params["encoder"], embedded, source_mask)
+    # Decoder hidden initialized from final encoder state of the top layer; context zero.
+    decoder_hidden = finals[-1][0]
+    decoder_context = jnp.zeros_like(decoder_hidden)
+    return encoder_outputs, source_mask, decoder_hidden, decoder_context
+
+
+def _decode_step(
+    params: Dict[str, Any],
+    spec: Seq2SeqSpec,
+    token: jax.Array,
+    decoder_hidden: jax.Array,
+    decoder_context: jax.Array,
+    encoder_outputs: jax.Array,
+    source_mask: jax.Array,
+):
+    r"""One ``_prepare_output_projections`` step. token: (B,). Returns (logits, h, c)."""
+    embedded = embed(params["target_embedding"], token)
+    # Dot-product attention with the PREVIOUS decoder hidden state.
+    scores = jnp.einsum("bsh,bh->bs", encoder_outputs, decoder_hidden)
+    weights = masked_softmax(scores, source_mask)
+    attended = jnp.einsum("bs,bsh->bh", weights, encoder_outputs)
+    cell_input = jnp.concatenate([attended, embedded], axis=-1)
+    decoder_hidden, decoder_context = rnn.lstm_cell(
+        params["decoder_cell"], cell_input, (decoder_hidden, decoder_context)
+    )
+    logits = linear(params["output_projection"], decoder_hidden)
+    return logits, decoder_hidden, decoder_context
+
+
+def seq2seq_forward(
+    params: Dict[str, Any],
+    spec: Seq2SeqSpec,
+    source_tokens: jax.Array,
+    target_tokens: Optional[jax.Array] = None,
+    decoding_strategy: str = SAMPLING,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    r"""Forward pass; returns ``{"predictions": (B, T'), "loss": (B,)}`` (+ "logits").
+
+    With ``target_tokens``: teacher forcing; loss is per-example sequence CE.
+    Without: free-running decode for ``max_decoding_steps``; loss is the
+    length-normalized negative logprob of the sampled/greedy tokens (REINFORCE input).
+    """
+    if decoding_strategy == SAMPLING and rng is None:
+        raise ValueError("sampling decode requires an rng key")
+    batch = source_tokens.shape[0]
+    encoder_outputs, source_mask, h0, c0 = _encode(params, spec, source_tokens)
+
+    teacher_forcing = target_tokens is not None
+    if teacher_forcing:
+        targets = add_boundary(
+            target_tokens, spec.pad_index, spec.start_index, spec.end_index
+        )
+        num_steps = targets.shape[1] - 1
+        step_inputs = jnp.swapaxes(targets[:, :-1], 0, 1)  # gold input at step t
+    else:
+        num_steps = spec.max_decoding_steps
+        step_inputs = jnp.zeros((num_steps, batch), source_tokens.dtype)  # unused
+
+    start = jnp.full((batch,), spec.start_index, source_tokens.dtype)
+    blocked = (spec.pad_index, spec.unk_index, spec.start_index)
+    base_key = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def step(carry, inputs):
+        h, c, last_pred = carry
+        t, gold = inputs
+        token = gold if teacher_forcing else last_pred
+        logits, h, c = _decode_step(
+            params, spec, token, h, c, encoder_outputs, source_mask
+        )
+        if decoding_strategy == GREEDY:
+            predicted = jnp.argmax(logits, axis=-1).astype(last_pred.dtype)
+        else:
+            key = jax.random.fold_in(base_key, t)
+            predicted = sample_with_blocked_tokens(key, logits, blocked).astype(
+                last_pred.dtype
+            )
+        # Step logprob of the chosen token, from the full (unblocked) distribution.
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        chosen_logprob = jnp.take_along_axis(log_probs, predicted[:, None], axis=-1)[:, 0]
+        return (h, c, predicted), (logits, predicted, chosen_logprob)
+
+    (_, _, _), (step_logits, step_preds, step_logprobs) = jax.lax.scan(
+        step, (h0, c0, start), (jnp.arange(num_steps), step_inputs)
+    )
+    # (T, B, ...) -> (B, T, ...)
+    logits = jnp.swapaxes(step_logits, 0, 1)
+    predictions = jnp.swapaxes(step_preds, 0, 1)
+    logprobs = jnp.swapaxes(step_logprobs, 0, 1)
+
+    predictions = trim_at_end(predictions, spec.end_index)
+    output: Dict[str, jax.Array] = {"predictions": predictions, "logits": logits}
+    if teacher_forcing:
+        target_mask = (targets != spec.pad_index)[:, 1:]
+        output["loss"] = sequence_cross_entropy(logits, targets[:, 1:], target_mask)
+        output["relevant_targets"] = targets[:, 1:]
+        output["relevant_mask"] = target_mask
+    else:
+        output["loss"] = length_normalized_logprob_loss(
+            logprobs, predictions, spec.pad_index
+        )
+    return output
