@@ -1,0 +1,394 @@
+r"""
+NeuralModuleNetwork: TbD-style module network executing CLEVR programs over image
+features — redesigned as a *batched, on-device register machine* instead of the
+reference's per-example Python interpreter (reference ``probnmn/models/nmn.py``).
+
+Reference semantics reproduced exactly (``nmn.py:139-275``):
+
+- tokens execute in **reversed** program order with a single-slot register scheme:
+  ``output`` starts as the stem features, ``saved_output`` starts empty; ``scene``
+  saves ``output`` and resets it to an all-ones attention; binary tokens
+  (intersect/union/equal*/less_than/greater_than) consume ``(output, saved_output)``;
+  other module tokens consume ``(stem_features, output)``;
+- pad/@start@/@end@/unk/``unique`` are no-ops;
+- *invalid programs*: any combination that would raise in torch (binary op with an
+  empty save slot, a unary module applied to a 128-channel "attention", a comparison
+  over non-feature operands) or a final output that is an attention instead of an
+  encoding ⇒ zeroed classifier input, prediction forced to @@UNKNOWN@@, loss clamped
+  to 3.33 ≈ ln 28 (``nmn.py:194-196``, ``231-238``, ``249-269``);
+- loss: per-example CE with answers, else negative max answer log-prob.
+
+TPU-native design: every module class's parameters live in stacked banks (one slot
+per program-vocab token of that class, mirroring the reference's one-module-per-token
+``add_module`` loop at ``nmn.py:114-115``). A single ``lax.scan`` steps the whole
+batch through the program; each step gathers per-example weights by token id and
+runs all module classes as im2col batched matmuls (MXU), selecting per example by
+token kind. Attentions are stored broadcast across all 128 channels so torch's
+NCHW broadcasting semantics (min/max/mul of (1,1,H,W) against (1,C,H,W)) hold
+bit-for-bit; a per-register *tag* (ATTN/FEAT/NONE) tracks what torch's dynamic
+shapes would have been and drives the invalid-program rules above.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.ops import gconv
+
+# Module kinds (static dispatch table indices).
+NOP, SCENE, AND, OR, ATTENTION, QUERY, RELATE, SAME, COMPARE = range(9)
+_KIND_NAMES = [
+    "nop", "scene", "and", "or", "attention", "query", "relate", "same", "compare",
+]
+
+# Register tags: what torch's dynamic channel count would have been.
+TAG_NONE, TAG_ATTN, TAG_FEAT = 0, 1, 2
+
+INVALID_LOSS = 3.33  # ≈ ln(28), reference nmn.py:194-196
+
+_NOOP_TOKENS = {"@@PADDING@@", "@start@", "@end@", "@@UNKNOWN@@", "unique"}
+
+
+def classify_token(token: str) -> int:
+    r"""Program-vocab token -> module kind (reference ``nmn.py:90-111``, ``219-229``)."""
+    if token in _NOOP_TOKENS:
+        return NOP
+    if token == "scene":
+        return SCENE
+    if token == "intersect":
+        return AND
+    if token == "union":
+        return OR
+    if "equal" in token or token in {"less_than", "greater_than"}:
+        return COMPARE
+    if "query" in token or token in {"exist", "count"}:
+        return QUERY
+    if "relate" in token:
+        return RELATE
+    if "same" in token:
+        return SAME
+    return ATTENTION
+
+
+@dataclass
+class NMNSpec:
+    r"""Static dispatch tables + architecture sizes (built once from the vocabulary)."""
+    token_kind: np.ndarray          # (program_vocab,) int32 module kind per token
+    token_bank: np.ndarray          # (program_vocab,) int32 slot in that kind's bank
+    bank_sizes: Dict[str, int]      # kind name -> number of bank slots
+    num_answers: int = 28
+    unk_answer_index: int = 28
+    feature_channels: int = 1024
+    height: int = 14
+    width: int = 14
+    module_channels: int = 128
+    class_projection_channels: int = 1024
+    classifier_linear_size: int = 1024
+
+
+def make_spec(vocabulary: Vocabulary, config=None) -> NMNSpec:
+    tokens = vocabulary.get_index_to_token_vocabulary("programs")
+    vocab_size = len(tokens)
+    kind = np.zeros(vocab_size, np.int32)
+    bank = np.zeros(vocab_size, np.int32)
+    counters = {name: 0 for name in _KIND_NAMES}
+    for index in range(vocab_size):
+        k = classify_token(tokens[index])
+        kind[index] = k
+        name = _KIND_NAMES[k]
+        if k in (ATTENTION, QUERY, RELATE, SAME, COMPARE):
+            bank[index] = counters[name]
+            counters[name] += 1
+    bank_sizes = {n: max(counters[n], 1) for n in ("attention", "query", "relate", "same", "compare")}
+
+    num_answers = vocabulary.get_vocab_size("answers") - 1  # exclude @@UNKNOWN@@
+    kwargs: Dict[str, Any] = {}
+    if config is not None:
+        c = config.NMN
+        kwargs = dict(
+            feature_channels=c.IMAGE_FEATURE_SIZE[0],
+            height=c.IMAGE_FEATURE_SIZE[1],
+            width=c.IMAGE_FEATURE_SIZE[2],
+            module_channels=c.MODULE_CHANNELS,
+            class_projection_channels=c.CLASS_PROJECTION_CHANNELS,
+            classifier_linear_size=c.CLASSIFIER_LINEAR_SIZE,
+        )
+    return NMNSpec(
+        token_kind=kind,
+        token_bank=bank,
+        bank_sizes=bank_sizes,
+        num_answers=num_answers,
+        unk_answer_index=vocabulary.get_token_index("@@UNKNOWN@@", "answers"),
+        **kwargs,
+    )
+
+
+# ------------------------------------------------------------------ init --------------
+def _torch_conv_default(key, shape_w, fan_in, c_out):
+    r"""torch Conv2d default init: kaiming_uniform(a=√5) ⇒ U(±1/√fan_in) for both."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / fan_in ** 0.5
+    w = jax.random.uniform(kw, shape_w, minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (c_out,), minval=-bound, maxval=bound)
+    return w, b
+
+
+def _bank(key, n, ksize, c_in, c_out, kaiming=True):
+    r"""Conv bank; reference modules kaiming-init weights (biases keep torch default),
+    except ComparisonModule's projection which keeps torch default entirely."""
+    params = gconv.init_conv_bank(key, n, ksize, c_in, c_out)
+    if not kaiming:
+        shape = (n, c_in, c_out) if ksize == 1 else (n, ksize, ksize, c_in, c_out)
+        bound = 1.0 / (c_in * ksize * ksize) ** 0.5
+        params["w"] = jax.random.uniform(
+            jax.random.split(key)[0], shape, minval=-bound, maxval=bound
+        )
+    return params
+
+
+def init_nmn_params(key: jax.Array, spec: NMNSpec) -> Dict[str, Any]:
+    C = spec.module_channels
+    keys = iter(jax.random.split(key, 32))
+
+    stem_w1, stem_b1 = _torch_conv_default(
+        next(keys), (3, 3, spec.feature_channels, C), spec.feature_channels * 9, C
+    )
+    stem_w2, stem_b2 = _torch_conv_default(next(keys), (3, 3, C, C), C * 9, C)
+
+    P = spec.class_projection_channels
+    cls_w, cls_b = _torch_conv_default(next(keys), (C, P), C, P)  # 1x1 as matmul
+    flat = P * (spec.height // 2) * (spec.width // 2)
+    lin1_bound = 1.0 / flat ** 0.5
+    k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+    lin1_w = jax.random.uniform(k1, (spec.classifier_linear_size, flat), minval=-lin1_bound, maxval=lin1_bound)
+    lin1_b = jax.random.uniform(k2, (spec.classifier_linear_size,), minval=-lin1_bound, maxval=lin1_bound)
+    lin2_bound = 1.0 / spec.classifier_linear_size ** 0.5
+    lin2_w = jax.random.uniform(k3, (spec.num_answers, spec.classifier_linear_size), minval=-lin2_bound, maxval=lin2_bound)
+    lin2_b = jax.random.uniform(k4, (spec.num_answers,), minval=-lin2_bound, maxval=lin2_bound)
+
+    nb = spec.bank_sizes
+    return {
+        "stem": {"w1": stem_w1, "b1": stem_b1, "w2": stem_w2, "b2": stem_b2},
+        "classifier": {
+            "proj_w": cls_w, "proj_b": cls_b,
+            "lin1": {"w": lin1_w, "b": lin1_b},
+            "lin2": {"w": lin2_w, "b": lin2_b},
+        },
+        "attention": {
+            "conv1": _bank(next(keys), nb["attention"], 3, C, C),
+            "conv2": _bank(next(keys), nb["attention"], 3, C, C),
+            "conv3": _bank(next(keys), nb["attention"], 1, C, 1),
+        },
+        "query": {
+            "conv1": _bank(next(keys), nb["query"], 3, C, C),
+            "conv2": _bank(next(keys), nb["query"], 3, C, C),
+        },
+        "relate": {
+            f"conv{i}": _bank(next(keys), nb["relate"], 3, C, C) for i in range(1, 6)
+        } | {"conv6": _bank(next(keys), nb["relate"], 1, C, 1)},
+        "same": {"conv": _bank(next(keys), nb["same"], 1, C + 1, 1)},
+        "compare": {
+            "projection": _bank(next(keys), nb["compare"], 1, 2 * C, C, kaiming=False),
+            "conv1": _bank(next(keys), nb["compare"], 3, C, C),
+            "conv2": _bank(next(keys), nb["compare"], 3, C, C),
+        },
+    }
+
+
+# ------------------------------------------------------------------ module chains -----
+def _bcast(attn: jax.Array, channels: int) -> jax.Array:
+    r"""Store a 1-channel attention broadcast over all module channels (torch NCHW
+    broadcasting equivalence)."""
+    return jnp.broadcast_to(attn, attn.shape[:-1] + (channels,))
+
+
+def _attention_chain(params, x, idx, channels):
+    out = jax.nn.relu(gconv.gathered_conv3x3(x, params["conv1"], idx))
+    out = jax.nn.relu(gconv.gathered_conv3x3(out, params["conv2"], idx))
+    out = jax.nn.sigmoid(gconv.gathered_conv1x1(out, params["conv3"], idx))
+    return _bcast(out, channels)
+
+
+def _query_chain(params, x, idx):
+    out = jax.nn.relu(gconv.gathered_conv3x3(x, params["conv1"], idx))
+    return jax.nn.relu(gconv.gathered_conv3x3(out, params["conv2"], idx))
+
+
+def _relate_chain(params, x, idx, channels):
+    out = x
+    for i, dilation in enumerate((1, 2, 4, 8, 1), start=1):
+        out = jax.nn.relu(
+            gconv.gathered_conv3x3(out, params[f"conv{i}"], idx, dilation=dilation)
+        )
+    out = jax.nn.sigmoid(gconv.gathered_conv1x1(out, params["conv6"], idx))
+    return _bcast(out, channels)
+
+
+def _same_chain(params, feats, attn_full, idx, channels):
+    r"""Argmax-location feature gather + cross-correlation (reference
+    ``nmn_modules.py:200-208``; per-example batch=1 there, so the argmax is the
+    example's own)."""
+    batch, h, w, c = feats.shape
+    attn = attn_full[..., :1]  # channel 0 holds the broadcast attention
+    flat = attn.reshape(batch, h * w)
+    am = jnp.argmax(flat, axis=-1)  # first max, like torch max_pool2d indices
+    onehot = jax.nn.one_hot(am, h * w, dtype=feats.dtype)
+    vec = jnp.einsum("bp,bpc->bc", onehot, feats.reshape(batch, h * w, c))
+    x = feats * vec[:, None, None, :]
+    x = jnp.concatenate([x, attn], axis=-1)  # (B, H, W, C+1)
+    out = jax.nn.sigmoid(gconv.gathered_conv1x1(x, params["conv"], idx))
+    return _bcast(out, channels)
+
+
+def _compare_chain(params, in1, in2, idx):
+    x = jnp.concatenate([in1, in2], axis=-1)
+    out = jax.nn.relu(gconv.gathered_conv1x1(x, params["projection"], idx))
+    out = jax.nn.relu(gconv.gathered_conv3x3(out, params["conv1"], idx))
+    return jax.nn.relu(gconv.gathered_conv3x3(out, params["conv2"], idx))
+
+
+def apply_stem(params: Dict[str, Any], features: jax.Array) -> jax.Array:
+    out = jax.nn.relu(gconv.conv3x3(features, params["w1"], params["b1"]))
+    return jax.nn.relu(gconv.conv3x3(out, params["w2"], params["b2"]))
+
+
+def apply_classifier(params: Dict[str, Any], x: jax.Array) -> jax.Array:
+    out = jax.nn.relu(gconv.conv1x1(x, params["proj_w"], params["proj_b"]))
+    out = gconv.max_pool_2x2(out)
+    out = out.reshape(out.shape[0], -1)  # NHWC flatten (interop permutes torch weights)
+    out = jax.nn.relu(out @ params["lin1"]["w"].T + params["lin1"]["b"])
+    return out @ params["lin2"]["w"].T + params["lin2"]["b"]
+
+
+# ------------------------------------------------------------------ interpreter -------
+def execute_programs(
+    params: Dict[str, Any], spec: NMNSpec, stem_feats: jax.Array, programs: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    r"""Run the register machine. Returns (final encodings (B,H,W,C), invalid (B,))."""
+    batch, h, w, c = stem_feats.shape
+    kind_table = jnp.asarray(spec.token_kind)
+    bank_table = jnp.asarray(spec.token_bank)
+
+    # Reversed prefix order (reference nmn.py:203): last token executes first.
+    tokens_rev = jnp.flip(programs, axis=1).T  # (T, B)
+
+    init = (
+        stem_feats,                                   # out register
+        jnp.zeros_like(stem_feats),                   # saved register
+        jnp.full((batch,), TAG_FEAT, jnp.int32),      # out tag (starts as features)
+        jnp.full((batch,), TAG_NONE, jnp.int32),      # saved tag (starts empty)
+        jnp.zeros((batch,), bool),                    # invalid flag
+    )
+
+    def step(carry, tok):
+        out, saved, out_tag, saved_tag, invalid = carry
+        kind = kind_table[tok]
+        bank = bank_table[tok]
+
+        att_in = stem_feats * out  # unary-module input (exact under broadcast storage)
+        ones_attn = jnp.ones((batch, h, w, c), stem_feats.dtype)
+
+        candidates = [
+            out,                                                    # NOP
+            ones_attn,                                              # SCENE -> fresh attention
+            jnp.minimum(out, saved),                                # AND
+            jnp.maximum(out, saved),                                # OR
+            _attention_chain(params["attention"], att_in, bank, c), # ATTENTION
+            _query_chain(params["query"], att_in, bank),            # QUERY
+            _relate_chain(params["relate"], att_in, bank, c),       # RELATE
+            _same_chain(params["same"], stem_feats, out, bank, c),  # SAME
+            _compare_chain(params["compare"], out, saved, bank),    # COMPARE
+        ]
+        kind_b = kind[:, None, None, None]
+        new_out = candidates[0]
+        for k in range(1, 9):
+            new_out = jnp.where(kind_b == k, candidates[k], new_out)
+
+        # scene: save current output before resetting.
+        is_scene = kind == SCENE
+        new_saved = jnp.where(is_scene[:, None, None, None], out, saved)
+        new_saved_tag = jnp.where(is_scene, out_tag, saved_tag)
+
+        # Output tags per kind (what torch's channel count would be).
+        binop_tag = jnp.where(
+            (out_tag == TAG_ATTN) & (saved_tag == TAG_ATTN), TAG_ATTN, TAG_FEAT
+        )
+        tag_candidates = jnp.stack(
+            [
+                out_tag,                                        # NOP
+                jnp.full_like(out_tag, TAG_ATTN),               # SCENE
+                binop_tag,                                      # AND (broadcast result)
+                binop_tag,                                      # OR
+                jnp.full_like(out_tag, TAG_ATTN),               # ATTENTION
+                jnp.full_like(out_tag, TAG_FEAT),               # QUERY
+                jnp.full_like(out_tag, TAG_ATTN),               # RELATE
+                jnp.full_like(out_tag, TAG_ATTN),               # SAME
+                jnp.full_like(out_tag, TAG_FEAT),               # COMPARE
+            ],
+            axis=0,
+        )
+        new_out_tag = jnp.take_along_axis(tag_candidates, kind[None, :], axis=0)[0]
+
+        # Invalid-program rules == "what raises in torch" (see module docstring).
+        is_binary = (kind == AND) | (kind == OR) | (kind == COMPARE)
+        is_unary_module = (kind >= ATTENTION) & (kind <= SAME)
+        new_invalid = invalid
+        new_invalid |= is_binary & (saved_tag == TAG_NONE)
+        new_invalid |= (kind == COMPARE) & (
+            (out_tag != TAG_FEAT) | (saved_tag != TAG_FEAT)
+        )
+        new_invalid |= is_unary_module & (out_tag != TAG_ATTN)
+
+        return (new_out, new_saved, new_out_tag, new_saved_tag, new_invalid), None
+
+    (out, _, out_tag, _, invalid), _ = jax.lax.scan(step, init, tokens_rev)
+    # Program must end in an "encoding", not an "attention" (reference nmn.py:231-232).
+    invalid |= out_tag != TAG_FEAT
+    final = jnp.where(invalid[:, None, None, None], 0.0, out)
+    return final, invalid
+
+
+def nmn_forward(
+    params: Dict[str, Any],
+    spec: NMNSpec,
+    features: jax.Array,
+    programs: jax.Array,
+    answers: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    r"""Full forward. features: (B, H, W, feature_channels) NHWC; programs: (B, T).
+
+    Returns {"predictions": (B,), "loss": (B,), "answer_logits", "invalid",
+    "metrics": {answer_accuracy (batch mean; 0 w/o answers), average_invalid (count)}}.
+    """
+    stem_feats = apply_stem(params["stem"], features)
+    final, invalid = execute_programs(params, spec, stem_feats, programs)
+    logits = apply_classifier(params["classifier"], final)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    pred_logprob = jnp.max(logprobs, axis=-1)
+    predictions = jnp.argmax(logprobs, axis=-1)
+    predictions = jnp.where(invalid, spec.unk_answer_index, predictions)
+
+    if answers is not None:
+        ce = -jnp.take_along_axis(logprobs, answers[:, None], axis=-1)[:, 0]
+        loss = jnp.where(invalid, INVALID_LOSS, ce)
+        accuracy = (predictions == answers).mean()
+    else:
+        loss = jnp.where(invalid, INVALID_LOSS, -pred_logprob)
+        accuracy = jnp.zeros(())
+
+    return {
+        "predictions": predictions,
+        "loss": loss,
+        "answer_logits": logits,
+        "invalid": invalid,
+        "metrics": {
+            "answer_accuracy": accuracy,
+            "average_invalid": invalid.sum(),
+        },
+    }
