@@ -1,0 +1,100 @@
+r"""
+Host->device batch pipeline.
+
+Replaces the reference's multi-worker torch ``DataLoader`` + per-batch ``.to(device)``
+(reference ``_trainer.py:272-287``) with a cyclic fixed-shape batch iterator over
+vectorized dataset gathers, plus asynchronous ``jax.device_put`` double-buffering:
+the next batch's host gather and H2D copy overlap with the current device step
+(JAX dispatch is async, so simply staying one batch ahead suffices).
+
+Image features arrive NCHW from the H5 files (reference layout (N, 1024, 14, 14));
+the pipeline converts to NHWC once on host — the TPU-native activation layout.
+"""
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def nchw_to_nhwc(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    if "image" in batch:
+        batch = dict(batch)
+        batch["image"] = np.ascontiguousarray(np.transpose(batch["image"], (0, 2, 3, 1)))
+    return batch
+
+
+class BatchIterator:
+    r"""Cyclic iterator of fixed-size batches: sampler epochs are concatenated and the
+    remainder at an epoch boundary is dropped forward (batches never straddle a
+    partially-refilled epoch with dynamic size — shapes stay static for jit)."""
+
+    def __init__(
+        self,
+        dataset,
+        sampler,
+        batch_size: int,
+        transform: Optional[Callable] = nchw_to_nhwc,
+        device_put: bool = True,
+        prefetch: int = 2,
+    ):
+        self._dataset = dataset
+        self._sampler = sampler
+        self._batch_size = batch_size
+        self._transform = transform
+        self._device_put = device_put
+        self._prefetch = max(prefetch, 0)
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        while True:
+            order = self._sampler.epoch()
+            for start in range(0, len(order) - self._batch_size + 1, self._batch_size):
+                yield order[start : start + self._batch_size]
+
+    def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        for indices in self._index_stream():
+            batch = self._dataset.get_batch(indices)
+            if self._transform is not None:
+                batch = self._transform(batch)
+            yield batch
+
+    def __iter__(self):
+        it = self._host_batches()
+        if self._prefetch == 0:
+            for batch in it:
+                yield jax.device_put(batch) if self._device_put else batch
+            return
+        # Stay `prefetch` device batches ahead; async dispatch overlaps H2D with compute.
+        queue = []
+        for batch in it:
+            queue.append(jax.device_put(batch) if self._device_put else batch)
+            if len(queue) > self._prefetch:
+                yield queue.pop(0)
+        while queue:
+            yield queue.pop(0)
+
+
+class EpochIterator:
+    r"""Single-pass (evaluation) iterator; drops the final partial batch to keep
+    static shapes, mirroring the reference evaluator's fixed ``num_batches`` loop."""
+
+    def __init__(self, dataset, batch_size: int, transform=nchw_to_nhwc, device_put=True):
+        self._dataset = dataset
+        self._batch_size = batch_size
+        self._transform = transform
+        self._device_put = device_put
+
+    def __len__(self):
+        return len(self._dataset) // self._batch_size
+
+    def __iter__(self):
+        n = len(self._dataset)
+        for start in range(0, n - self._batch_size + 1, self._batch_size):
+            indices = np.arange(start, start + self._batch_size)
+            batch = self._dataset.get_batch(indices)
+            if self._transform is not None:
+                batch = self._transform(batch)
+            yield jax.device_put(batch) if self._device_put else batch

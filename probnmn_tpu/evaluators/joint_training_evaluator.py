@@ -1,0 +1,69 @@
+r"""
+Evaluator for the ``joint_training`` phase
+(reference ``probnmn/evaluators/joint_training_evaluator.py``): uses the trainer's
+ProgramGenerator and NMN; accumulates the PG's seq2seq metrics (teacher-forced
+greedy against GT programs) and the NMN's answer accuracy / invalid count.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.data.datasets import JointTrainingDataset
+from probnmn_tpu.data.pipeline import EpochIterator
+from probnmn_tpu.evaluators._evaluator import _Evaluator
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.utils.metrics import Average, BooleanAccuracy, SequenceAccuracy
+from probnmn_tpu.evaluators.question_coding_evaluator import _Seq2SeqMetrics
+
+
+class JointTrainingEvaluator(_Evaluator):
+    def __init__(self, config: Config, trainer, in_memory_features: bool = True):
+        dataset = JointTrainingDataset(
+            config.DATA.VAL_TOKENS,
+            config.DATA.VAL_FEATURES,
+            in_memory=in_memory_features,
+        )
+        super().__init__(
+            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE)
+        )
+        self._pg_spec = trainer.pg_spec
+        self._nmn_spec = trainer.nmn_spec
+        self._pg_metrics = _Seq2SeqMetrics(SequenceAccuracy())
+        self._answer_accuracy = BooleanAccuracy()
+        self._average_invalid = Average()
+
+        def eval_step(params, batch):
+            pg_out = seq2seq_forward(
+                params["program_generator"], self._pg_spec,
+                batch["question"], batch["program"], "greedy",
+            )
+            nmn_out = nmn_lib.nmn_forward(
+                params["nmn"], self._nmn_spec, batch["image"], pg_out["predictions"],
+                batch["answer"],
+            )
+            return pg_out, nmn_out
+
+        self._eval_step = jax.jit(eval_step)
+
+    def _do_iteration(self, batch: Dict[str, Any]) -> None:
+        pg_out, nmn_out = self._eval_step(self._trainer.params, batch)
+        self._pg_metrics.update(pg_out)
+        self._answer_accuracy(
+            np.asarray(nmn_out["predictions"]), np.asarray(batch["answer"])
+        )
+        self._average_invalid(float(np.asarray(nmn_out["invalid"]).sum()))
+
+    def _collect(self) -> Dict[str, Any]:
+        return {
+            "program_generator": self._pg_metrics.collect(),
+            "question_reconstructor": {},
+            "nmn": {
+                "answer_accuracy": self._answer_accuracy.get_metric(reset=True),
+                "average_invalid": self._average_invalid.get_metric(reset=True),
+            },
+        }

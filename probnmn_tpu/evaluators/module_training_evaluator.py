@@ -1,0 +1,70 @@
+r"""
+Evaluator for the ``module_training`` phase
+(reference ``probnmn/evaluators/module_training_evaluator.py``): constructs its own
+frozen ProgramGenerator from the question-coding checkpoint (:74-79), decodes
+programs teacher-forced/greedy against GT programs, executes the NMN, and
+accumulates answer accuracy + average invalid programs.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.data.datasets import ModuleTrainingDataset
+from probnmn_tpu.data.pipeline import EpochIterator
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.evaluators._evaluator import _Evaluator
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models import program_generator
+from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.utils.checkpointing import load_objects
+from probnmn_tpu.utils.metrics import Average, BooleanAccuracy
+
+
+class ModuleTrainingEvaluator(_Evaluator):
+    def __init__(self, config: Config, trainer, in_memory_features: bool = True):
+        dataset = ModuleTrainingDataset(
+            config.DATA.VAL_TOKENS, config.DATA.VAL_FEATURES, in_memory=in_memory_features
+        )
+        super().__init__(
+            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE)
+        )
+        vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
+        self._pg_spec = program_generator.make_spec(vocabulary, config)
+        pg_template = program_generator.init_params(jax.random.PRNGKey(0), self._pg_spec)
+        restored, _, _ = load_objects(
+            config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template}
+        )
+        self._pg_params = jax.device_put(restored["program_generator"])
+        self._nmn_spec = trainer.nmn_spec
+
+        self._answer_accuracy = BooleanAccuracy()
+        self._average_invalid = Average()
+
+        def eval_step(nmn_params, pg_params, batch):
+            pg_out = seq2seq_forward(
+                pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
+            )
+            nmn_out = nmn_lib.nmn_forward(
+                nmn_params, self._nmn_spec, batch["image"], pg_out["predictions"],
+                batch["answer"],
+            )
+            return nmn_out
+
+        self._eval_step = jax.jit(eval_step)
+
+    def _do_iteration(self, batch: Dict[str, Any]) -> None:
+        out = self._eval_step(self._trainer.params["nmn"], self._pg_params, batch)
+        self._answer_accuracy(np.asarray(out["predictions"]), np.asarray(batch["answer"]))
+        self._average_invalid(float(np.asarray(out["invalid"]).sum()))
+
+    def _collect(self) -> Dict[str, Any]:
+        return {
+            "nmn": {
+                "answer_accuracy": self._answer_accuracy.get_metric(reset=True),
+                "average_invalid": self._average_invalid.get_metric(reset=True),
+            }
+        }

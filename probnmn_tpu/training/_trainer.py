@@ -1,0 +1,161 @@
+r"""
+Base training runtime (reference ``probnmn/trainers/_trainer.py``), TPU-native.
+
+Differences from the reference runtime, by design:
+
+- the whole train step (forward, backward, clamp, Adam update, REINFORCE baseline
+  update) is ONE jitted function on device; the host loop only feeds batches and
+  logs scalars;
+- multi-device execution is data-parallel sharding of the batch via
+  ``jax.sharding`` (see ``probnmn_tpu.parallel``), not ``nn.DataParallel``;
+- the learning rate is a mutable optax hyperparameter driven by a host-side
+  ``ReduceLROnPlateau`` identical to torch's (mode="max", rel threshold 1e-3);
+- checkpoints are msgpack pytrees with the same named-partial-restore contract.
+
+Matches the reference contract: single Adam over the union of all trainable models'
+parameters, ``step() -> {"loss", ...}`` tensorboard logging (nested dicts become
+``add_scalars``), ``after_validation(val_metrics)`` consuming a higher-is-better
+``val_metrics["metric"]`` for best-checkpoint tracking and LR scheduling, and
+``load_checkpoint`` restoring models + optimizer + scheduler + iteration.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from tensorboardX import SummaryWriter
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.training.optim import (
+    ReduceLROnPlateau,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from probnmn_tpu.utils.checkpointing import CheckpointManager
+
+logger = logging.getLogger(__name__)
+
+
+class _Trainer:
+    r"""
+    Parameters
+    ----------
+    config: Config
+    batches: iterator yielding device batches (cyclic).
+    models: Dict[str, Dict] — trainable parameter pytrees keyed by model name.
+    serialization_dir: str
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        batches,
+        models: Dict[str, Any],
+        serialization_dir: str,
+    ):
+        self._C = config
+        self._batches = iter(batches)
+        self._params = dict(models)
+
+        self._tx = make_optimizer(
+            self._C.OPTIM.LR_INITIAL, self._C.OPTIM.WEIGHT_DECAY
+        )
+        self._opt_state = self._tx.init(self._params)
+        self._lr_scheduler = ReduceLROnPlateau(
+            self._C.OPTIM.LR_INITIAL, self._C.OPTIM.LR_GAMMA, self._C.OPTIM.LR_PATIENCE
+        )
+
+        self._tensorboard_writer = SummaryWriter(log_dir=serialization_dir)
+        self._checkpoint_manager = CheckpointManager(
+            serialization_dir=serialization_dir, keep_recent=100
+        )
+        self._rng = jax.random.PRNGKey(self._C.RANDOM_SEED)
+        self._baseline = np.float32(0.0)  # REINFORCE moving-average baseline
+        self._iteration: int = -1
+
+    # ------------------------------------------------------------------ step ----------
+    def step(self, iteration: Optional[int] = None) -> None:
+        batch = next(self._batches)
+        output_dict = self._do_iteration(batch)
+        self._iteration = iteration if iteration is not None else self._iteration + 1
+        self._log_output(output_dict)
+
+    def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def _log_output(self, output_dict: Dict[str, Any]) -> None:
+        output_dict = jax.device_get(output_dict)
+        for key, value in output_dict.items():
+            if isinstance(value, dict):
+                scalars = {k: float(v) for k, v in value.items() if np.ndim(v) == 0}
+                if scalars:
+                    self._tensorboard_writer.add_scalars(
+                        f"train/{key}", scalars, self._iteration
+                    )
+            elif np.ndim(value) == 0:
+                self._tensorboard_writer.add_scalar(
+                    f"train/{key}", float(value), self._iteration
+                )
+
+    # ------------------------------------------------------------------ validation ----
+    def _checkpointables(self) -> Dict[str, Any]:
+        objects: Dict[str, Any] = dict(self._params)
+        objects["optimizer"] = self._opt_state
+        objects["scheduler"] = self._lr_scheduler.state_dict()
+        objects["reinforce_baseline"] = np.asarray(self._baseline)
+        return objects
+
+    def after_validation(
+        self, val_metrics: Dict[str, Any], iteration: Optional[int] = None
+    ) -> None:
+        if iteration is not None:
+            self._iteration = iteration
+
+        metric = val_metrics["metric"]
+        self._checkpoint_manager.step(self._iteration, self._checkpointables(), metric)
+
+        new_lr = self._lr_scheduler.step(metric)
+        self._opt_state = set_learning_rate(self._opt_state, new_lr)
+        self._tensorboard_writer.add_scalar("train/lr", new_lr, self._iteration)
+
+        val_metrics = {k: v for k, v in val_metrics.items() if k != "metric"}
+        for model_name, metrics in val_metrics.items():
+            if not isinstance(metrics, dict):
+                continue
+            for metric_name, value in metrics.items():
+                self._tensorboard_writer.add_scalar(
+                    f"val/metrics/{model_name}/{metric_name}", value, self._iteration
+                )
+
+    def load_checkpoint(self, checkpoint_path: str, iteration: Optional[int] = None):
+        templates = self._checkpointables()
+        restored, ckpt_iteration = self._checkpoint_manager.load(checkpoint_path, templates)
+        for name in self._params:
+            self._params[name] = restored[name]
+        self._opt_state = restored["optimizer"]
+        self._lr_scheduler.load_state_dict(
+            jax.tree_util.tree_map(float, restored["scheduler"])
+        )
+        self._opt_state = set_learning_rate(self._opt_state, self._lr_scheduler.lr)
+        self._baseline = np.float32(restored["reinforce_baseline"])
+        self._iteration = iteration if iteration is not None else ckpt_iteration
+
+    # ------------------------------------------------------------------ accessors -----
+    @property
+    def iteration(self) -> int:
+        return self._iteration
+
+    @property
+    def params(self) -> Dict[str, Any]:
+        return self._params
+
+    @property
+    def learning_rate(self) -> float:
+        return get_learning_rate(self._opt_state)
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub

@@ -1,0 +1,211 @@
+r"""
+Phase 4 trainer: Joint Training — full ELBO with the γ-scaled answer
+log-likelihood REINFORCE term (reference ``probnmn/trainers/joint_training_trainer.py``
++ ``probnmn/modules/elbo.py:164-280``).
+
+"ours": loss = γ·nmn_loss − elbo + α(L_PG_sup + L_QR_sup), elbo from the fully
+Monte-Carlo bound with reward R = log p(x|z) + β log p(z) − β log q(z|x) + γ log p(a|z,i).
+"baseline": reward is the answer log-likelihood only and "elbo" is the
+REINFORCE-weighted PG loss (reference ``elbo.py:241-250``). All sub-batch means are
+supervision-mask weighted over the fixed-shape batch (see question_coding_trainer).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.data.datasets import JointTrainingDataset
+from probnmn_tpu.data.pipeline import BatchIterator
+from probnmn_tpu.data.samplers import SupervisionWeightedRandomSampler
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models import program_generator, question_reconstructor
+from probnmn_tpu.models.program_prior import init_program_prior_params, program_prior_forward
+from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.modules.elbo import (
+    elbo_with_reinforce,
+    joint_training_reward,
+    masked_mean,
+    reinforce,
+)
+from probnmn_tpu.training._trainer import _Trainer
+from probnmn_tpu.training.program_prior_trainer import make_prior_spec
+from probnmn_tpu.utils.checkpointing import load_objects
+
+
+class JointTrainingTrainer(_Trainer):
+    def __init__(
+        self,
+        config: Config,
+        serialization_dir: str,
+        cpu_workers: int = 0,
+        in_memory_features: bool = True,
+    ):
+        if config.PHASE != "joint_training":
+            raise ValueError(f"Expected PHASE joint_training, found {config.PHASE}")
+
+        vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
+        dataset = JointTrainingDataset(
+            config.DATA.TRAIN_TOKENS,
+            config.DATA.TRAIN_FEATURES,
+            num_supervision=config.SUPERVISION,
+            supervision_question_max_length=config.SUPERVISION_QUESTION_MAX_LENGTH,
+            in_memory=in_memory_features,
+        )
+        sampler = SupervisionWeightedRandomSampler(
+            dataset.get_supervision_list(), seed=config.RANDOM_SEED
+        )
+        batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE)
+
+        self.pg_spec = program_generator.make_spec(vocabulary, config)
+        self.qr_spec = question_reconstructor.make_spec(vocabulary, config)
+        self.nmn_spec = nmn_lib.make_spec(vocabulary, config)
+        key = jax.random.PRNGKey(config.RANDOM_SEED)
+        k_pg, k_qr, k_nmn = jax.random.split(key, 3)
+        models = {
+            "program_generator": program_generator.init_params(k_pg, self.pg_spec),
+            "question_reconstructor": question_reconstructor.init_params(k_qr, self.qr_spec),
+            "nmn": nmn_lib.init_nmn_params(k_nmn, self.nmn_spec),
+        }
+
+        # PG + QR come from the question_coding checkpoint, NMN from module_training
+        # (reference joint_training_trainer.py:85-90).
+        restored, _, _ = load_objects(
+            config.CHECKPOINTS.QUESTION_CODING,
+            {
+                "program_generator": models["program_generator"],
+                "question_reconstructor": models["question_reconstructor"],
+            },
+        )
+        models.update(restored)
+        restored, _, _ = load_objects(
+            config.CHECKPOINTS.MODULE_TRAINING, {"nmn": models["nmn"]}
+        )
+        models.update(restored)
+
+        super().__init__(config, batches, models, serialization_dir)
+
+        # Frozen prior (reference :109-114).
+        self.prior_spec = make_prior_spec(config, vocabulary)
+        prior_template = init_program_prior_params(jax.random.PRNGKey(0), self.prior_spec)
+        restored, _, _ = load_objects(
+            config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template}
+        )
+        self._prior_params = jax.device_put(restored["program_prior"])
+
+        self._train_step = self._build_step_fn()
+
+    def _build_step_fn(self):
+        pg_spec, qr_spec, nmn_spec, prior_spec = (
+            self.pg_spec, self.qr_spec, self.nmn_spec, self.prior_spec,
+        )
+        tx = self._tx
+        alpha, beta, gamma, delta = self._C.ALPHA, self._C.BETA, self._C.GAMMA, self._C.DELTA
+        objective = self._C.OBJECTIVE
+
+        @jax.jit
+        def train_step(params, opt_state, baseline, rng, batch, prior_params):
+            keys = jax.random.split(rng, 5)
+            sup = batch["supervision"].astype(jnp.float32)
+            unsup = 1.0 - sup
+
+            def loss_fn(p):
+                # --- unsupervised subset: sample z, reconstruct x, answer via NMN ---
+                pg_free = seq2seq_forward(
+                    p["program_generator"], pg_spec,
+                    batch["question"], None, "sampling", keys[0],
+                )
+                z = pg_free["predictions"]
+                qr_rec = seq2seq_forward(
+                    p["question_reconstructor"], qr_spec,
+                    z, batch["question"], "sampling", keys[1],
+                )
+                nmn_out = nmn_lib.nmn_forward(
+                    p["nmn"], nmn_spec, batch["image"], z, batch["answer"]
+                )
+                nmn_loss = masked_mean(nmn_out["loss"], unsup)
+
+                logprobs_generation = -pg_free["loss"]
+                logprobs_answering = -nmn_out["loss"]
+
+                if objective == "baseline":
+                    reinforce_term, new_baseline = reinforce(
+                        pg_free["loss"], logprobs_answering, baseline, delta, mask=unsup
+                    )
+                    elbo = masked_mean(reinforce_term, unsup)
+                    logs = {
+                        "loss": {"nmn": nmn_loss},
+                        "elbo": {
+                            "elbo": elbo,
+                            "reinforce_reward": masked_mean(logprobs_answering, unsup),
+                        },
+                    }
+                    total = gamma * nmn_loss - elbo
+                    return total, (new_baseline, logs)
+
+                logprobs_reconstruction = -qr_rec["loss"]
+                prior_out = program_prior_forward(prior_params, prior_spec, z, keys[2])
+                logprobs_prior = -prior_out["loss"]
+                reward = joint_training_reward(
+                    logprobs_reconstruction, logprobs_generation, logprobs_prior,
+                    logprobs_answering, beta, gamma,
+                )
+                diagnostics, new_baseline = elbo_with_reinforce(
+                    logprobs_generation, logprobs_reconstruction, reward,
+                    baseline, beta, delta, mask=unsup,
+                )
+                elbo = diagnostics.pop("elbo")
+                diagnostics.pop("elbo_per_example")
+
+                # --- supervised subset: teacher-forced PG/QR (reference :154-177) ---
+                pg_sup = seq2seq_forward(
+                    p["program_generator"], pg_spec,
+                    batch["question"], batch["program"], "sampling", keys[3],
+                )
+                qr_sup = seq2seq_forward(
+                    p["question_reconstructor"], qr_spec,
+                    batch["program"], batch["question"], "sampling", keys[4],
+                )
+                pg_loss_sup = masked_mean(pg_sup["loss"], sup)
+                qr_loss_sup = masked_mean(qr_sup["loss"], sup)
+
+                logs = {
+                    "loss": {
+                        "nmn": nmn_loss,
+                        "question_reconstruction_gt": qr_loss_sup,
+                        "program_generation_gt": pg_loss_sup,
+                    },
+                    "elbo": dict(diagnostics, elbo=elbo),
+                }
+                total = (
+                    gamma * nmn_loss - elbo + alpha * (pg_loss_sup + qr_loss_sup)
+                )
+                return total, (new_baseline, logs)
+
+            (_, (new_baseline, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_baseline, logs
+
+        return train_step
+
+    def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        self._params, self._opt_state, self._baseline, logs = self._train_step(
+            self._params, self._opt_state, self._baseline, self.next_rng(),
+            batch, self._prior_params,
+        )
+        return logs
+
+    def after_validation(self, val_metrics: Dict[str, Any], iteration=None) -> None:
+        val_metrics["metric"] = val_metrics["nmn"]["answer_accuracy"]
+        super().after_validation(val_metrics, iteration)
+
+    @property
+    def prior_params(self):
+        return self._prior_params

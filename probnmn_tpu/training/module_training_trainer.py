@@ -1,0 +1,98 @@
+r"""
+Phase 3 trainer: Module Training — NMN over cached image features with programs
+sampled from the frozen ProgramGenerator
+(reference ``probnmn/trainers/module_training_trainer.py``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import optax
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.data.datasets import ModuleTrainingDataset
+from probnmn_tpu.data.pipeline import BatchIterator
+from probnmn_tpu.data.samplers import RandomSampler
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models import program_generator
+from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.training._trainer import _Trainer
+from probnmn_tpu.utils.checkpointing import load_objects
+
+
+class ModuleTrainingTrainer(_Trainer):
+    def __init__(
+        self,
+        config: Config,
+        serialization_dir: str,
+        cpu_workers: int = 0,
+        in_memory_features: bool = True,
+    ):
+        if config.PHASE != "module_training":
+            raise ValueError(f"Expected PHASE module_training, found {config.PHASE}")
+
+        vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
+        dataset = ModuleTrainingDataset(
+            config.DATA.TRAIN_TOKENS, config.DATA.TRAIN_FEATURES, in_memory=in_memory_features
+        )
+        batches = BatchIterator(
+            dataset,
+            RandomSampler(len(dataset), seed=config.RANDOM_SEED),
+            config.OPTIM.BATCH_SIZE,
+        )
+
+        self.nmn_spec = nmn_lib.make_spec(vocabulary, config)
+        params = nmn_lib.init_nmn_params(
+            jax.random.PRNGKey(config.RANDOM_SEED), self.nmn_spec
+        )
+        super().__init__(config, batches, {"nmn": params}, serialization_dir)
+
+        # Frozen ProgramGenerator from the question_coding checkpoint.
+        self.pg_spec = program_generator.make_spec(vocabulary, config)
+        pg_template = program_generator.init_params(jax.random.PRNGKey(0), self.pg_spec)
+        restored, _, _ = load_objects(
+            config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template}
+        )
+        self._pg_params = jax.device_put(restored["program_generator"])
+
+        self._train_step = self._build_step_fn()
+
+    def _build_step_fn(self):
+        nmn_spec, pg_spec, tx = self.nmn_spec, self.pg_spec, self._tx
+
+        @jax.jit
+        def train_step(params, opt_state, rng, batch, pg_params):
+            # Sample programs from the frozen generator (reference :88-98).
+            pg_out = seq2seq_forward(
+                pg_params, pg_spec, batch["question"], None, "sampling", rng
+            )
+            programs = jax.lax.stop_gradient(pg_out["predictions"])
+
+            def loss_fn(p):
+                out = nmn_lib.nmn_forward(
+                    p["nmn"], nmn_spec, batch["image"], programs, batch["answer"]
+                )
+                return out["loss"].mean(), out["metrics"]
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "metrics": metrics}
+
+        return train_step
+
+    def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        self._params, self._opt_state, logs = self._train_step(
+            self._params, self._opt_state, self.next_rng(), batch, self._pg_params
+        )
+        return logs
+
+    def after_validation(self, val_metrics: Dict[str, Any], iteration=None) -> None:
+        val_metrics["metric"] = val_metrics["nmn"]["answer_accuracy"]
+        super().after_validation(val_metrics, iteration)
+
+    @property
+    def pg_params(self):
+        return self._pg_params

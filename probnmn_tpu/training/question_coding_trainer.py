@@ -1,0 +1,158 @@
+r"""
+Phase 2 trainer: Question Coding — semi-supervised seq2seq VAE with REINFORCE
+(reference ``probnmn/trainers/question_coding_trainer.py``).
+
+The reference splits each batch into supervised / unsupervised sub-batches with
+dynamic ``nonzero`` gathers; here both paths run over the full fixed-shape batch
+and every mean is weighted by the supervision flag — numerically identical, and
+jit/pjit-friendly (SURVEY.md §7 step 4).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.data.datasets import QuestionCodingDataset
+from probnmn_tpu.data.pipeline import BatchIterator
+from probnmn_tpu.data.samplers import SupervisionWeightedRandomSampler
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.models import program_generator, question_reconstructor
+from probnmn_tpu.models.program_prior import program_prior_forward, init_program_prior_params
+from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.modules.elbo import (
+    elbo_with_reinforce,
+    masked_mean,
+    question_coding_reward,
+)
+from probnmn_tpu.training._trainer import _Trainer
+from probnmn_tpu.training.program_prior_trainer import make_prior_spec
+from probnmn_tpu.utils.checkpointing import load_objects
+
+
+class QuestionCodingTrainer(_Trainer):
+    def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0):
+        if config.PHASE != "question_coding":
+            raise ValueError(f"Expected PHASE question_coding, found {config.PHASE}")
+
+        vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
+        dataset = QuestionCodingDataset(
+            config.DATA.TRAIN_TOKENS,
+            num_supervision=config.SUPERVISION,
+            supervision_question_max_length=config.SUPERVISION_QUESTION_MAX_LENGTH,
+        )
+        sampler = SupervisionWeightedRandomSampler(
+            dataset.get_supervision_list(), seed=config.RANDOM_SEED
+        )
+        batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE)
+
+        self.pg_spec = program_generator.make_spec(vocabulary, config)
+        self.qr_spec = question_reconstructor.make_spec(vocabulary, config)
+        key = jax.random.PRNGKey(config.RANDOM_SEED)
+        k_pg, k_qr = jax.random.split(key)
+        models = {
+            "program_generator": program_generator.init_params(k_pg, self.pg_spec),
+            "question_reconstructor": question_reconstructor.init_params(k_qr, self.qr_spec),
+        }
+        super().__init__(config, batches, models, serialization_dir)
+
+        # Frozen ProgramPrior from the program_prior phase checkpoint.
+        self.prior_spec = make_prior_spec(config, vocabulary)
+        prior_template = init_program_prior_params(jax.random.PRNGKey(0), self.prior_spec)
+        restored, _, _ = load_objects(
+            config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template}
+        )
+        self._prior_params = jax.device_put(restored["program_prior"])
+
+        self._train_step = self._build_step_fn()
+
+    def _build_step_fn(self):
+        pg_spec, qr_spec, prior_spec = self.pg_spec, self.qr_spec, self.prior_spec
+        tx = self._tx
+        alpha, beta, delta = self._C.ALPHA, self._C.BETA, self._C.DELTA
+        objective = self._C.OBJECTIVE
+
+        @jax.jit
+        def train_step(params, opt_state, baseline, rng, batch, prior_params):
+            keys = jax.random.split(rng, 5)
+            sup = batch["supervision"].astype(jnp.float32)
+
+            def loss_fn(p):
+                # Supervised teacher-forced losses (means over the supervised subset).
+                pg_sup = seq2seq_forward(
+                    p["program_generator"], pg_spec,
+                    batch["question"], batch["program"], "sampling", keys[0],
+                )
+                qr_sup = seq2seq_forward(
+                    p["question_reconstructor"], qr_spec,
+                    batch["program"], batch["question"], "sampling", keys[1],
+                )
+                pg_loss_sup = masked_mean(pg_sup["loss"], sup)
+                qr_loss_sup = masked_mean(qr_sup["loss"], sup)
+
+                logs: Dict[str, Any] = {
+                    "loss": {
+                        "question_reconstruction_gt": qr_loss_sup,
+                        "program_generation_gt": pg_loss_sup,
+                    }
+                }
+                if objective == "baseline":
+                    total = pg_loss_sup + qr_loss_sup
+                    return total, (baseline, logs)
+
+                # ELBO over the unsupervised subset: z ~ q(z|x), reconstruct, prior.
+                unsup = 1.0 - sup
+                pg_free = seq2seq_forward(
+                    p["program_generator"], pg_spec,
+                    batch["question"], None, "sampling", keys[2],
+                )
+                z = pg_free["predictions"]
+                qr_rec = seq2seq_forward(
+                    p["question_reconstructor"], qr_spec,
+                    z, batch["question"], "sampling", keys[3],
+                )
+                prior_out = program_prior_forward(prior_params, prior_spec, z, keys[4])
+
+                logprobs_generation = -pg_free["loss"]
+                logprobs_reconstruction = -qr_rec["loss"]
+                logprobs_prior = -prior_out["loss"]
+                reward = question_coding_reward(
+                    logprobs_reconstruction, logprobs_generation, logprobs_prior, beta
+                )
+                diagnostics, new_baseline = elbo_with_reinforce(
+                    logprobs_generation, logprobs_reconstruction, reward,
+                    baseline, beta, delta, mask=unsup,
+                )
+                elbo = diagnostics.pop("elbo")
+                diagnostics.pop("elbo_per_example")
+                logs["elbo"] = dict(diagnostics, elbo=elbo)
+                total = -elbo + alpha * (qr_loss_sup + pg_loss_sup)
+                return total, (new_baseline, logs)
+
+            (_, (new_baseline, logs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_baseline, logs
+
+        return train_step
+
+    def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        self._params, self._opt_state, self._baseline, logs = self._train_step(
+            self._params, self._opt_state, self._baseline, self.next_rng(),
+            batch, self._prior_params,
+        )
+        return logs
+
+    def after_validation(self, val_metrics: Dict[str, Any], iteration=None) -> None:
+        val_metrics["metric"] = val_metrics["program_generator"]["sequence_accuracy"]
+        super().after_validation(val_metrics, iteration)
+
+    @property
+    def prior_params(self):
+        return self._prior_params

@@ -1,0 +1,59 @@
+r"""
+Evaluation CLI (reference ``scripts/evaluate.py``): build the phase trainer (for
+model construction + checkpoint load) and evaluator, run the full val split, log
+all metrics.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from probnmn_tpu.config import Config
+from scripts.train import EVALUATORS, TRAINERS
+
+parser = argparse.ArgumentParser(description="Evaluate a checkpoint of a particular phase.")
+parser.add_argument(
+    "--phase",
+    required=True,
+    choices=["program_prior", "question_coding", "module_training", "joint_training"],
+)
+parser.add_argument("--config-yml", required=True)
+parser.add_argument("--config-override", nargs="*", default=[])
+parser.add_argument("--gpu-ids", nargs="+", type=int, default=[0], help="Ignored.")
+parser.add_argument("--cpu-workers", type=int, default=0)
+parser.add_argument("--checkpoint-path", required=True)
+
+
+def main(args):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    logger = logging.getLogger(__name__)
+    config = Config(args.config_yml, args.config_override)
+    if args.phase != config.PHASE:
+        raise ValueError(
+            f"Provided `--phase` as {args.phase}, expected config PHASE to match, "
+            f"found {config.PHASE}"
+        )
+    print(config)
+    np.random.seed(config.RANDOM_SEED)
+
+    serialization_dir = os.path.dirname(args.checkpoint_path) or "/tmp/probnmn_eval"
+    trainer = TRAINERS[args.phase](
+        config, serialization_dir=serialization_dir, cpu_workers=args.cpu_workers
+    )
+    evaluator = EVALUATORS[args.phase](config, trainer)
+    trainer.load_checkpoint(args.checkpoint_path)
+
+    val_metrics = evaluator.evaluate()
+    for model_name, metrics in val_metrics.items():
+        if not isinstance(metrics, dict):
+            continue
+        for metric_name, value in metrics.items():
+            logger.info("%s %s: %s", model_name, metric_name, value)
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

@@ -1,0 +1,99 @@
+r"""
+Training CLI (reference ``scripts/train.py``): same argument surface, same
+phase dispatch, same loop structure — ``trainer.step()`` every iteration,
+evaluate + ``after_validation`` every ``--checkpoint-every`` iterations.
+
+``--gpu-ids`` is accepted for CLI compatibility but ignored: device placement is
+JAX's, and multi-chip execution is governed by the mesh utilities in
+``probnmn_tpu.parallel`` (data-parallel sharding replaces nn.DataParallel).
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+from tqdm import tqdm
+
+from probnmn_tpu.config import Config
+from probnmn_tpu.evaluators.joint_training_evaluator import JointTrainingEvaluator
+from probnmn_tpu.evaluators.module_training_evaluator import ModuleTrainingEvaluator
+from probnmn_tpu.evaluators.program_prior_evaluator import ProgramPriorEvaluator
+from probnmn_tpu.evaluators.question_coding_evaluator import QuestionCodingEvaluator
+from probnmn_tpu.training.joint_training_trainer import JointTrainingTrainer
+from probnmn_tpu.training.module_training_trainer import ModuleTrainingTrainer
+from probnmn_tpu.training.program_prior_trainer import ProgramPriorTrainer
+from probnmn_tpu.training.question_coding_trainer import QuestionCodingTrainer
+
+parser = argparse.ArgumentParser(description="Train a specified phase of ProbNMN (TPU).")
+parser.add_argument(
+    "--phase",
+    required=True,
+    choices=["program_prior", "question_coding", "module_training", "joint_training"],
+)
+parser.add_argument("--config-yml", required=True, help="Path to a config file.")
+parser.add_argument(
+    "--config-override",
+    nargs="*",
+    default=[],
+    help="A sequence of key-value pairs overriding the config.",
+)
+parser.add_argument("--gpu-ids", nargs="+", type=int, default=[0], help="Ignored (JAX devices).")
+parser.add_argument("--cpu-workers", type=int, default=0)
+parser.add_argument("--serialization-dir", default="checkpoints/experiment")
+parser.add_argument("--checkpoint-every", type=int, default=500)
+parser.add_argument("--start-from-checkpoint", default="")
+parser.add_argument("--num-val-batches", type=int, default=None)
+
+TRAINERS = {
+    "program_prior": ProgramPriorTrainer,
+    "question_coding": QuestionCodingTrainer,
+    "module_training": ModuleTrainingTrainer,
+    "joint_training": JointTrainingTrainer,
+}
+EVALUATORS = {
+    "program_prior": ProgramPriorEvaluator,
+    "question_coding": QuestionCodingEvaluator,
+    "module_training": ModuleTrainingEvaluator,
+    "joint_training": JointTrainingEvaluator,
+}
+
+
+def main(args):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    config = Config(args.config_yml, args.config_override)
+    if args.phase != config.PHASE:
+        raise ValueError(
+            f"Provided `--phase` as {args.phase}, expected config PHASE to match, "
+            f"found {config.PHASE}"
+        )
+    print(config)
+
+    os.makedirs(args.serialization_dir, exist_ok=True)
+    config.dump(os.path.join(args.serialization_dir, "config.yml"))
+
+    # The supervision subset selection depends on this global seed
+    # (reference train.py:104-110).
+    np.random.seed(config.RANDOM_SEED)
+
+    trainer = TRAINERS[args.phase](
+        config, serialization_dir=args.serialization_dir, cpu_workers=args.cpu_workers
+    )
+    evaluator = EVALUATORS[args.phase](config, trainer)
+
+    if args.start_from_checkpoint:
+        trainer.load_checkpoint(args.start_from_checkpoint)
+
+    for iteration in tqdm(
+        range(trainer.iteration + 1, config.OPTIM.NUM_ITERATIONS), desc="training"
+    ):
+        trainer.step(iteration)
+        if (iteration + 1) % args.checkpoint_every == 0:
+            val_metrics = evaluator.evaluate(num_batches=args.num_val_batches)
+            trainer.after_validation(val_metrics, iteration)
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

@@ -1,0 +1,185 @@
+"""End-to-end smoke tests: all four phases train, evaluate, checkpoint and resume
+on synthetic CLEVR-shaped data, chained exactly like the real pipeline
+(prior ckpt -> question coding ckpt -> module training ckpt -> joint)."""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from probnmn_tpu.evaluators.joint_training_evaluator import JointTrainingEvaluator
+from probnmn_tpu.evaluators.module_training_evaluator import ModuleTrainingEvaluator
+from probnmn_tpu.evaluators.program_prior_evaluator import ProgramPriorEvaluator
+from probnmn_tpu.evaluators.question_coding_evaluator import QuestionCodingEvaluator
+from probnmn_tpu.training.joint_training_trainer import JointTrainingTrainer
+from probnmn_tpu.training.module_training_trainer import ModuleTrainingTrainer
+from probnmn_tpu.training.program_prior_trainer import ProgramPriorTrainer
+from probnmn_tpu.training.question_coding_trainer import QuestionCodingTrainer
+from probnmn_tpu.utils.checkpointing import save_objects
+
+from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """Build data once; run the phases in dependency order, caching checkpoints."""
+    root = str(tmp_path_factory.mktemp("clevr"))
+    build_fixture_data(root)
+    return {"root": root}
+
+
+def test_program_prior_phase(pipeline):
+    root = pipeline["root"]
+    config = make_fixture_config(root, "program_prior")
+    np.random.seed(config.RANDOM_SEED)
+    serialization_dir = os.path.join(root, "pp_run")
+    trainer = ProgramPriorTrainer(config, serialization_dir)
+    evaluator = ProgramPriorEvaluator(config, trainer)
+
+    losses = []
+    for iteration in range(10):
+        batch = next(trainer._batches)
+        logs = trainer._do_iteration(batch)
+        trainer._iteration = iteration
+        losses.append(float(logs["loss"]))
+    assert losses[-1] < losses[0], losses  # LM learns the 7 templates fast
+
+    val_metrics = evaluator.evaluate(num_batches=2)
+    assert val_metrics["program_prior"]["perplexity"] > 1.0
+    trainer.after_validation(val_metrics, 9)
+
+    ckpt = os.path.join(serialization_dir, "checkpoint_9.ckpt")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(os.path.join(serialization_dir, "checkpoint_best.ckpt"))
+
+    # Publish as the "program_prior_best" for downstream phases.
+    shutil.copy(ckpt, os.path.join(root, "program_prior_best.ckpt"))
+    pipeline["prior_trained"] = True
+
+    # Resume: fresh trainer restores params + iteration.
+    trainer2 = ProgramPriorTrainer(config, serialization_dir)
+    trainer2.load_checkpoint(ckpt)
+    assert trainer2.iteration == 9
+    p_old = np.asarray(trainer.params["program_prior"]["embedding"])
+    p_new = np.asarray(trainer2.params["program_prior"]["embedding"])
+    np.testing.assert_array_equal(p_old, p_new)
+
+
+@pytest.mark.parametrize("objective", ["ours", "baseline"])
+def test_question_coding_phase(pipeline, objective):
+    root = pipeline["root"]
+    assert pipeline.get("prior_trained")
+    config = make_fixture_config(root, "question_coding", ["OBJECTIVE", objective])
+    np.random.seed(config.RANDOM_SEED)
+    serialization_dir = os.path.join(root, f"qc_run_{objective}")
+    trainer = QuestionCodingTrainer(config, serialization_dir)
+    evaluator = QuestionCodingEvaluator(config, trainer)
+
+    baselines = [float(trainer._baseline)]
+    for iteration in range(3):
+        trainer.step(iteration)
+        baselines.append(float(trainer._baseline))
+
+    if objective == "ours":
+        # REINFORCE baseline must move under the reference update rule.
+        assert baselines[-1] != baselines[0]
+    else:
+        assert baselines[-1] == baselines[0]
+
+    val_metrics = evaluator.evaluate(num_batches=2)
+    for model in ("program_generator", "question_reconstructor"):
+        for metric in ("BLEU", "perplexity", "sequence_accuracy", "word_error_rate"):
+            assert metric in val_metrics[model]
+    trainer.after_validation(val_metrics, 2)
+
+    if objective == "ours":
+        shutil.copy(
+            os.path.join(serialization_dir, "checkpoint_2.ckpt"),
+            os.path.join(root, "question_coding_best.ckpt"),
+        )
+        pipeline["qc_trained"] = True
+
+
+def test_supervision_subset_is_seed_deterministic(pipeline):
+    root = pipeline["root"]
+    from probnmn_tpu.data.datasets import QuestionCodingDataset
+
+    config = make_fixture_config(root, "question_coding")
+    np.random.seed(config.RANDOM_SEED)
+    d1 = QuestionCodingDataset(config.DATA.TRAIN_TOKENS, 12, 10)
+    np.random.seed(config.RANDOM_SEED)
+    d2 = QuestionCodingDataset(config.DATA.TRAIN_TOKENS, 12, 10)
+    np.testing.assert_array_equal(d1.get_supervision_list(), d2.get_supervision_list())
+    assert d1.get_supervision_list().sum() == 12
+    # the supervision-weighted sampler yields ~50/50 batches
+    from probnmn_tpu.data.samplers import SupervisionWeightedRandomSampler
+
+    sampler = SupervisionWeightedRandomSampler(d1.get_supervision_list(), seed=0)
+    draws = np.concatenate([sampler.epoch() for _ in range(50)])
+    frac = d1.get_supervision_list()[draws].mean()
+    assert 0.4 < frac < 0.6
+
+
+def test_module_training_phase(pipeline):
+    root = pipeline["root"]
+    assert pipeline.get("qc_trained")
+    config = make_fixture_config(root, "module_training")
+    np.random.seed(config.RANDOM_SEED)
+    serialization_dir = os.path.join(root, "mt_run")
+    trainer = ModuleTrainingTrainer(config, serialization_dir)
+    evaluator = ModuleTrainingEvaluator(config, trainer)
+
+    for iteration in range(3):
+        trainer.step(iteration)
+
+    val_metrics = evaluator.evaluate(num_batches=2)
+    assert 0.0 <= val_metrics["nmn"]["answer_accuracy"] <= 1.0
+    assert val_metrics["nmn"]["average_invalid"] >= 0.0
+    trainer.after_validation(val_metrics, 2)
+
+    shutil.copy(
+        os.path.join(serialization_dir, "checkpoint_2.ckpt"),
+        os.path.join(root, "module_training_best.ckpt"),
+    )
+    pipeline["mt_trained"] = True
+
+
+@pytest.mark.parametrize("objective", ["ours", "baseline"])
+def test_joint_training_phase(pipeline, objective):
+    root = pipeline["root"]
+    assert pipeline.get("mt_trained")
+    config = make_fixture_config(root, "joint_training", ["OBJECTIVE", objective])
+    np.random.seed(config.RANDOM_SEED)
+    serialization_dir = os.path.join(root, f"jt_run_{objective}")
+    trainer = JointTrainingTrainer(config, serialization_dir)
+    evaluator = JointTrainingEvaluator(config, trainer)
+
+    for iteration in range(2):
+        trainer.step(iteration)
+
+    val_metrics = evaluator.evaluate(num_batches=2)
+    assert "answer_accuracy" in val_metrics["nmn"]
+    assert "sequence_accuracy" in val_metrics["program_generator"]
+    trainer.after_validation(val_metrics, 1)
+    # joint trainer warm-started PG from the question-coding checkpoint
+    assert trainer.iteration == 1
+
+
+def test_inference_script(pipeline, tmp_path):
+    root = pipeline["root"]
+    assert pipeline.get("mt_trained")
+    import json
+    from scripts import inference
+
+    config_path = os.path.join(root, "inference_config.yml")
+    make_fixture_config(root, "joint_training").dump(config_path)
+
+    args = inference.parser.parse_args(
+        ["--config-yml", config_path, "--checkpoint-path", os.path.join(root, "module_training_best.ckpt")]
+    )
+    inference.main(args)
+    predictions_path = os.path.join(root, "module_training_best_predictions.json")
+    assert os.path.exists(predictions_path)
+    predictions = json.load(open(predictions_path))
+    assert len(predictions) == 16  # val-size test fixture, batch 8 x 2
+    assert {"question_index", "answer"} <= set(predictions[0].keys())
