@@ -1,0 +1,92 @@
+r"""
+Headline benchmark: end-to-end inference throughput (questions/sec) of the
+flagship pipeline — ProgramGenerator sampling decode (26 steps) + NMN program
+execution over (14, 14, 1024) image features — at real CLEVR scale on one chip.
+
+Baseline target (BASELINE.md, driver-provided north star): 5,000 questions/sec on
+one TPU v5e chip. ``vs_baseline`` = measured / 5000.
+
+Methodology: data resident on device; ITERS batches are executed inside a single
+jitted fori_loop and a scalar is fetched at the end, so the host<->device
+round-trip latency (~25 ms through the axon tunnel) is amortized; wall time is
+measured around the fetch. Prints exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+BASELINE_QPS = 5000.0
+
+
+def main():
+    from probnmn_tpu.models import nmn as nmn_lib
+    from probnmn_tpu.models import program_generator
+    from probnmn_tpu.models.seq2seq import seq2seq_forward
+    from probnmn_tpu.utils.clevr import MAX_QUESTION_LENGTH, make_clevr_like_vocabulary
+
+    vocab = make_clevr_like_vocabulary()
+    pg_spec = program_generator.make_spec(vocab)
+    nmn_spec = nmn_lib.make_spec(vocab)
+    nmn_spec.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    key = jax.random.PRNGKey(0)
+    params = {
+        "program_generator": program_generator.init_params(key, pg_spec),
+        "nmn": nmn_lib.init_nmn_params(key, nmn_spec),
+    }
+
+    rs = np.random.RandomState(0)
+    questions = jnp.asarray(
+        rs.randint(4, vocab.get_vocab_size("questions"), (BATCH, MAX_QUESTION_LENGTH)),
+        jnp.int32,
+    )
+    images = jnp.asarray(rs.randn(BATCH, 14, 14, 1024), jnp.float32)
+
+    def pipeline(params, questions, images, rng):
+        pg_out = seq2seq_forward(
+            params["program_generator"], pg_spec, questions, None, "sampling", rng
+        )
+        nmn_out = nmn_lib.nmn_forward(
+            params["nmn"], nmn_spec, images, pg_out["predictions"]
+        )
+        return nmn_out["predictions"]
+
+    def many(params, questions, images, rng):
+        def body(i, acc):
+            preds = pipeline(params, questions, images, jax.random.fold_in(rng, i))
+            return acc + preds.sum()
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.int32))
+
+    jfn = jax.jit(many)
+    int(jfn(params, questions, images, jax.random.PRNGKey(1)))  # compile + warm
+
+    times = []
+    for rep in range(3):
+        t0 = time.time()
+        int(jfn(params, questions, images, jax.random.PRNGKey(2 + rep)))
+        times.append(time.time() - t0)
+    best = min(times)
+    qps = ITERS * BATCH / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "inference_questions_per_sec",
+                "value": round(qps, 1),
+                "unit": "questions/sec",
+                "vs_baseline": round(qps / BASELINE_QPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

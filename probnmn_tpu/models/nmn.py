@@ -89,6 +89,11 @@ class NMNSpec:
     module_channels: int = 128
     class_projection_channels: int = 1024
     classifier_linear_size: int = 1024
+    # Compute dtype for the conv/matmul path ("float32" or "bfloat16"). MXU
+    # multiplies are bf16 with f32 accumulation either way; bf16 halves HBM
+    # traffic and runs the systolic array at full rate. Answer logits are always
+    # produced in f32.
+    compute_dtype: str = "float32"
 
 
 def make_spec(vocabulary: Vocabulary, config=None) -> NMNSpec:
@@ -365,9 +370,13 @@ def nmn_forward(
     Returns {"predictions": (B,), "loss": (B,), "answer_logits", "invalid",
     "metrics": {answer_accuracy (batch mean; 0 w/o answers), average_invalid (count)}}.
     """
+    dtype = jnp.dtype(spec.compute_dtype)
+    if dtype != jnp.float32:
+        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+        features = features.astype(dtype)
     stem_feats = apply_stem(params["stem"], features)
     final, invalid = execute_programs(params, spec, stem_feats, programs)
-    logits = apply_classifier(params["classifier"], final)
+    logits = apply_classifier(params["classifier"], final).astype(jnp.float32)
     logprobs = jax.nn.log_softmax(logits, axis=-1)
 
     pred_logprob = jnp.max(logprobs, axis=-1)

@@ -1,0 +1,90 @@
+r"""
+Device mesh + sharding rules.
+
+The reference's only parallelism is single-process ``nn.DataParallel`` scatter/
+gather over GPUs (reference ``_trainer.py:98-100``). TPU-natively this becomes a
+``jax.sharding.Mesh`` with the batch sharded over the ``data`` axis and parameters
+replicated (or sharded over ``model`` where a dimension allows): under jit, GSPMD
+inserts the gradient all-reduce over ICI automatically — no NCCL, no explicit
+collectives in user code.
+
+Model scale note: all four models total <20M params, so data parallelism is the
+profitable strategy; the ``model`` axis exists to shard the largest leaves (the
+NMN classifier and per-token module banks — the latter is effectively *expert
+parallelism* over module instances) and, mostly, to exercise multi-axis sharding
+in the multichip dry-run.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, model_parallel: int = 1
+) -> Mesh:
+    r"""Mesh of shape (n_devices // model_parallel, model_parallel) over
+    ('data', 'model')."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    r"""Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def _param_spec(path: Tuple, leaf) -> P:
+    r"""Sharding rule for a parameter leaf, keyed by its tree path.
+
+    - NMN conv banks (leading axis = module instance): shard axis 0 over 'model'
+      when divisible — expert-parallel over module instances.
+    - Large classifier / projection matrices: shard the output dim over 'model'.
+    - Everything else: replicated (these models are small; ICI all-gather of tiny
+      weights would cost more than it saves).
+    """
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    shape = getattr(leaf, "shape", ())
+    if any(n in ("attention", "query", "relate", "same", "compare") for n in names):
+        return P(MODEL_AXIS) if shape and shape[0] > 1 else P()
+    if "classifier" in names and len(shape) == 2:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    r"""Place parameters on the mesh according to ``_param_spec`` (divisibility-
+    checked; falls back to replication when a dim does not divide the axis)."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def place(path, leaf):
+        spec = _param_spec(path, leaf)
+        # Fall back to replication when the sharded dim does not divide the axis.
+        for dim, axis_name in enumerate(spec):
+            if axis_name is not None and leaf.shape[dim] % model_size != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -1,0 +1,66 @@
+r"""
+CLEVR v1.0 public constants: the closed program-function catalog (with value
+inputs folded as ``fn[value]``, matching ``scripts/preprocess/build_vocabulary.py``
+in the reference) and the 28 answers. Used to build realistic vocabularies for
+benchmarks and tests when the real dataset is not on disk.
+"""
+from __future__ import annotations
+
+from typing import List
+
+from probnmn_tpu.data.vocabulary import SPECIAL_TOKENS, Vocabulary
+
+_COLORS = ["blue", "brown", "cyan", "gray", "green", "purple", "red", "yellow"]
+_MATERIALS = ["metal", "rubber"]
+_SHAPES = ["cube", "cylinder", "sphere"]
+_SIZES = ["large", "small"]
+_RELATIONS = ["behind", "front", "left", "right"]
+
+CLEVR_PROGRAM_FUNCTIONS: List[str] = sorted(
+    ["scene", "unique", "count", "exist", "intersect", "union",
+     "equal_integer", "less_than", "greater_than"]
+    + [f"filter_color[{c}]" for c in _COLORS]
+    + [f"filter_material[{m}]" for m in _MATERIALS]
+    + [f"filter_shape[{s}]" for s in _SHAPES]
+    + [f"filter_size[{s}]" for s in _SIZES]
+    + [f"relate[{r}]" for r in _RELATIONS]
+    + [f"query_{a}" for a in ("color", "material", "shape", "size")]
+    + [f"same_{a}" for a in ("color", "material", "shape", "size")]
+    + [f"equal_{a}" for a in ("color", "material", "shape", "size")]
+)
+
+CLEVR_ANSWERS: List[str] = sorted(
+    [str(i) for i in range(11)] + ["yes", "no"] + _COLORS + _MATERIALS + _SHAPES + _SIZES
+)
+
+# A plausible CLEVR question-word inventory (~85 distinct words in the real data).
+CLEVR_QUESTION_WORDS: List[str] = sorted(
+    set(
+        (
+            "there is a are any other things that the same as ; what number of "
+            "how many objects color material shape size it its does have do "
+            "made matte rubber shiny metal metallic big large small tiny block "
+            "cube blocks cubes ball sphere spheres balls cylinder cylinders "
+            "object thing and or both either behind in front left right side "
+            "visible another on fewer more greater less than equal is an "
+            "anything else has to least most be them they all which"
+        ).split()
+    )
+    | set(_COLORS)
+)
+
+MAX_PROGRAM_LENGTH = 26   # reference program_generator.py:34
+MAX_QUESTION_LENGTH = 45  # reference question_reconstructor.py:34
+
+
+def make_clevr_like_vocabulary() -> Vocabulary:
+    r"""A vocabulary with the real CLEVR program/answer token inventory (question
+    words approximated) — same namespace sizes as real preprocessed data."""
+    return Vocabulary(
+        {
+            "questions": SPECIAL_TOKENS + CLEVR_QUESTION_WORDS,
+            "programs": SPECIAL_TOKENS + CLEVR_PROGRAM_FUNCTIONS,
+            "answers": CLEVR_ANSWERS + ["@@UNKNOWN@@"],
+        },
+        non_padded_namespaces=["answers"],
+    )

@@ -244,3 +244,25 @@ def test_nmn_gradients_flow_to_used_banks(setup):
     gr = np.asarray(grads["relate"]["conv1"]["w"])
     assert np.abs(gr).max() == 0
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(grads)[0])).all()
+
+
+def test_nmn_bfloat16_path(setup):
+    """bf16 compute path: identical invalid mask and (argmax) predictions agree
+    with f32 on the overwhelming majority of examples."""
+    import copy
+    vocab, spec, params = setup
+    bf_spec = copy.copy(spec)
+    bf_spec.compute_dtype = "bfloat16"
+    programs = _programs(vocab, PROGRAM_CASES)
+    rs = np.random.RandomState(0)
+    features = jnp.asarray(
+        rs.randn(len(PROGRAM_CASES), spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    out32 = nmn.nmn_forward(params, spec, features, jnp.asarray(programs))
+    out16 = nmn.nmn_forward(params, bf_spec, features, jnp.asarray(programs))
+    np.testing.assert_array_equal(np.asarray(out32["invalid"]), np.asarray(out16["invalid"]))
+    assert out16["answer_logits"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out16["answer_logits"]), np.asarray(out32["answer_logits"]),
+        atol=0.15,
+    )
