@@ -50,13 +50,18 @@ def main():
     )
     images = jnp.asarray(rs.randn(BATCH, 14, 14, 1024), jnp.float32)
 
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    if impl == "pallas":
+        # Fused Pallas NMN interpreter (the production serving path).
+        nmn_forward = nmn_lib.make_fast_inference_fn(params["nmn"], nmn_spec)
+    else:
+        nmn_forward = lambda f, p: nmn_lib.nmn_forward(params["nmn"], nmn_spec, f, p)
+
     def pipeline(params, questions, images, rng):
         pg_out = seq2seq_forward(
             params["program_generator"], pg_spec, questions, None, "sampling", rng
         )
-        nmn_out = nmn_lib.nmn_forward(
-            params["nmn"], nmn_spec, images, pg_out["predictions"]
-        )
+        nmn_out = nmn_forward(images, pg_out["predictions"])
         return nmn_out["predictions"]
 
     def many(params, questions, images, rng):
