@@ -20,7 +20,7 @@ from probnmn_tpu.evaluators._evaluator import _Evaluator
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models import program_generator
 from probnmn_tpu.models.seq2seq import seq2seq_forward
-from probnmn_tpu.utils.checkpointing import load_objects
+from probnmn_tpu.utils.checkpointing import load_objects_flexible
 from probnmn_tpu.utils.metrics import Average, BooleanAccuracy
 
 
@@ -35,8 +35,9 @@ class ModuleTrainingEvaluator(_Evaluator):
         vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         self._pg_spec = program_generator.make_spec(vocabulary, config)
         pg_template = program_generator.init_params(jax.random.PRNGKey(0), self._pg_spec)
-        restored, _, _ = load_objects(
-            config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template}
+        restored, _, _ = load_objects_flexible(
+            config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template},
+            specs={"program_generator": self._pg_spec}, vocabulary=vocabulary,
         )
         self._pg_params = jax.device_put(restored["program_generator"])
         self._nmn_spec = trainer.nmn_spec

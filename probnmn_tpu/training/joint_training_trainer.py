@@ -34,7 +34,7 @@ from probnmn_tpu.modules.elbo import (
 )
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.training.program_prior_trainer import make_prior_spec
-from probnmn_tpu.utils.checkpointing import load_objects
+from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
 
 class JointTrainingTrainer(_Trainer):
@@ -74,16 +74,20 @@ class JointTrainingTrainer(_Trainer):
 
         # PG + QR come from the question_coding checkpoint, NMN from module_training
         # (reference joint_training_trainer.py:85-90).
-        restored, _, _ = load_objects(
+        restored, _, _ = load_objects_flexible(
             config.CHECKPOINTS.QUESTION_CODING,
             {
                 "program_generator": models["program_generator"],
                 "question_reconstructor": models["question_reconstructor"],
             },
+            specs={"program_generator": self.pg_spec,
+                   "question_reconstructor": self.qr_spec},
+            vocabulary=vocabulary,
         )
         models.update(restored)
-        restored, _, _ = load_objects(
-            config.CHECKPOINTS.MODULE_TRAINING, {"nmn": models["nmn"]}
+        restored, _, _ = load_objects_flexible(
+            config.CHECKPOINTS.MODULE_TRAINING, {"nmn": models["nmn"]},
+            specs={"nmn": self.nmn_spec}, vocabulary=vocabulary,
         )
         models.update(restored)
 
@@ -92,8 +96,9 @@ class JointTrainingTrainer(_Trainer):
         # Frozen prior (reference :109-114).
         self.prior_spec = make_prior_spec(config, vocabulary)
         prior_template = init_program_prior_params(jax.random.PRNGKey(0), self.prior_spec)
-        restored, _, _ = load_objects(
-            config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template}
+        restored, _, _ = load_objects_flexible(
+            config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template},
+            specs={"program_prior": self.prior_spec}, vocabulary=vocabulary,
         )
         self._prior_params = jax.device_put(restored["program_prior"])
 

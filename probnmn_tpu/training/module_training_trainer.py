@@ -19,7 +19,7 @@ from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models import program_generator
 from probnmn_tpu.models.seq2seq import seq2seq_forward
 from probnmn_tpu.training._trainer import _Trainer
-from probnmn_tpu.utils.checkpointing import load_objects
+from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
 
 class ModuleTrainingTrainer(_Trainer):
@@ -52,8 +52,9 @@ class ModuleTrainingTrainer(_Trainer):
         # Frozen ProgramGenerator from the question_coding checkpoint.
         self.pg_spec = program_generator.make_spec(vocabulary, config)
         pg_template = program_generator.init_params(jax.random.PRNGKey(0), self.pg_spec)
-        restored, _, _ = load_objects(
-            config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template}
+        restored, _, _ = load_objects_flexible(
+            config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template},
+            specs={"program_generator": self.pg_spec}, vocabulary=vocabulary,
         )
         self._pg_params = jax.device_put(restored["program_generator"])
 

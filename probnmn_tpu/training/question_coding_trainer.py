@@ -31,7 +31,7 @@ from probnmn_tpu.modules.elbo import (
 )
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.training.program_prior_trainer import make_prior_spec
-from probnmn_tpu.utils.checkpointing import load_objects
+from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
 
 class QuestionCodingTrainer(_Trainer):
@@ -63,8 +63,9 @@ class QuestionCodingTrainer(_Trainer):
         # Frozen ProgramPrior from the program_prior phase checkpoint.
         self.prior_spec = make_prior_spec(config, vocabulary)
         prior_template = init_program_prior_params(jax.random.PRNGKey(0), self.prior_spec)
-        restored, _, _ = load_objects(
-            config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template}
+        restored, _, _ = load_objects_flexible(
+            config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template},
+            specs={"program_prior": self.prior_spec}, vocabulary=vocabulary,
         )
         self._prior_params = jax.device_put(restored["program_prior"])
 

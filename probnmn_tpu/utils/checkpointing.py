@@ -68,6 +68,37 @@ def load_objects(
     return restored, iteration, not_found
 
 
+def load_objects_flexible(
+    path: str,
+    templates: Dict[str, Any],
+    specs: Optional[Dict[str, Any]] = None,
+    vocabulary=None,
+) -> Tuple[Dict[str, Any], int, List[str]]:
+    r"""Like :func:`load_objects`, but transparently accepts reference ``.pth``
+    checkpoints (torch serialization; ported weight-for-weight via
+    ``utils.torch_interop``). ``specs`` maps each template name to its model
+    spec; ``vocabulary`` is needed for the NMN's per-token banks."""
+    if path.endswith(".pth"):
+        from probnmn_tpu.utils import torch_interop
+
+        assert specs is not None, "porting a .pth checkpoint requires model specs"
+        ported = torch_interop.load_reference_checkpoint(
+            path, {k: specs[k] for k in templates}, vocabulary
+        )
+        restored = dict(templates)
+        not_found = []
+        for name in templates:
+            if name in ported:
+                logger.info("Ported %s from reference checkpoint %s", name, path)
+                restored[name] = ported[name]
+            else:
+                not_found.append(name)
+        if not_found:
+            logger.info("Checkpointables not found in file: %s", not_found)
+        return restored, -1, not_found
+    return load_objects(path, templates)
+
+
 class CheckpointManager:
     r"""
     Parameters
