@@ -35,6 +35,7 @@ from probnmn_tpu.training.optim import (
     set_learning_rate,
 )
 from probnmn_tpu.utils.checkpointing import CheckpointManager
+from probnmn_tpu.utils.observability import StepTimer
 
 logger = logging.getLogger(__name__)
 
@@ -75,12 +76,19 @@ class _Trainer:
         self._rng = jax.random.PRNGKey(self._C.RANDOM_SEED)
         self._baseline = np.float32(0.0)  # REINFORCE moving-average baseline
         self._iteration: int = -1
+        self._step_timer = StepTimer(batch_size=self._C.OPTIM.BATCH_SIZE)
 
     # ------------------------------------------------------------------ step ----------
     def step(self, iteration: Optional[int] = None) -> None:
         batch = next(self._batches)
         output_dict = self._do_iteration(batch)
         self._iteration = iteration if iteration is not None else self._iteration + 1
+        self._step_timer.tick()
+        if self._iteration % 50 == 0 and self._iteration > 0:
+            for name, value in self._step_timer.metrics().items():
+                self._tensorboard_writer.add_scalar(
+                    f"train/{name}", value, self._iteration
+                )
         self._log_output(output_dict)
 
     def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:

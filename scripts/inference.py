@@ -55,17 +55,25 @@ def main(args):
     pg_params = jax.device_put(restored["program_generator"])
     nmn_params = jax.device_put(restored["nmn"])
 
+    # Serving path: the fused Pallas NMN interpreter (bf16) — ~10x the XLA
+    # register machine's inference throughput on TPU.
+    nmn_spec.compute_dtype = "bfloat16"
+    # Pallas TPU kernels need interpret mode on CPU backends.
+    nmn_fast = nmn_lib.make_fast_inference_fn(
+        nmn_params, nmn_spec, interpret=jax.default_backend() == "cpu"
+    )
+
     @jax.jit
-    def infer_step(pg_p, nmn_p, questions, images, rng):
+    def infer_step(pg_p, questions, images, rng):
         pg_out = seq2seq_forward(pg_p, pg_spec, questions, None, "sampling", rng)
-        nmn_out = nmn_lib.nmn_forward(nmn_p, nmn_spec, images, pg_out["predictions"])
+        nmn_out = nmn_fast(images, pg_out["predictions"])
         return nmn_out["predictions"]
 
     rng = jax.random.PRNGKey(config.RANDOM_SEED)
     predictions = []
     for batch in tqdm(iter(batches), total=len(batches), desc="inference"):
         rng, sub = jax.random.split(rng)
-        answers = infer_step(pg_params, nmn_params, batch["question"], batch["image"], sub)
+        answers = infer_step(pg_params, batch["question"], batch["image"], sub)
         for question_index, answer in zip(
             np.asarray(batch["question_index"]), np.asarray(answers)
         ):

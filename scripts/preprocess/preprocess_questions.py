@@ -16,6 +16,7 @@ import h5py
 import numpy as np
 from tqdm import tqdm
 
+from probnmn_tpu.data import native
 from probnmn_tpu.data.preprocessing import tokenize_program, tokenize_question
 from probnmn_tpu.data.vocabulary import Vocabulary
 
@@ -35,31 +36,30 @@ if __name__ == "__main__":
     vocabulary = Vocabulary.from_files(args.vocab_dirpath)
 
     image_indices, answers = [], []
-    tokenized_questions, tokenized_programs = [], []
-    for item in tqdm(clevr_json, desc="tokenizing"):
-        tokenized_questions.append(tokenize_question(item["question"]))
+    program_id_rows = []
+    for item in tqdm(clevr_json, desc="tokenizing programs"):
         image_indices.append(item["image_index"])
         if args.split != "test":
-            tokenized_programs.append(tokenize_program(item["program"]))
+            program_id_rows.append(native.program_prefix_ids(item["program"], vocabulary))
             answers.append(vocabulary.get_token_index(item["answer"], "answers"))
 
-    question_max_length = max(len(q) for q in tokenized_questions)
-    questions = np.zeros((len(tokenized_questions), question_max_length), np.int64)
-    for i, tokens in enumerate(tokenized_questions):
-        questions[i, : len(tokens)] = [
-            vocabulary.get_token_index(t, "questions") for t in tokens
-        ]
+    # Questions: batch-tokenized by the native C++ runtime (Python fallback inside).
+    tokenizer = native.NativeTokenizer(vocabulary, "questions")
+    logger.info("Question tokenizer backend: %s", "native C++" if tokenizer.native else "python")
+    ids, lengths = tokenizer.tokenize_questions(
+        [item["question"] for item in clevr_json], max_len=128
+    )
+    question_max_length = int(lengths.max())
+    questions = ids[:, :question_max_length].astype(np.int64)
 
     with h5py.File(args.output_h5path, "w") as output_h5:
         output_h5["image_indices"] = np.asarray(image_indices, np.int64)
         output_h5["questions"] = questions
         if args.split != "test":
-            program_max_length = max(len(p) for p in tokenized_programs)
-            programs = np.zeros((len(tokenized_programs), program_max_length), np.int64)
-            for i, tokens in enumerate(tokenized_programs):
-                programs[i, : len(tokens)] = [
-                    vocabulary.get_token_index(t, "programs") for t in tokens
-                ]
+            program_max_length = max(len(p) for p in program_id_rows)
+            programs = np.zeros((len(program_id_rows), program_max_length), np.int64)
+            for i, row in enumerate(program_id_rows):
+                programs[i, : len(row)] = row
             output_h5["programs"] = programs
             output_h5["answers"] = np.asarray(answers, np.int64)
         output_h5.attrs["split"] = args.split
