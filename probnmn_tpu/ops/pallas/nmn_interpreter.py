@@ -135,8 +135,10 @@ def build_kernel_tables(params: Dict[str, Any], spec: NMNSpec, dtype=jnp.bfloat1
             plane[i, 0, : len(row)] = row
         return plane
 
-    w3 = np.stack([w.reshape(9, C, C) for w in w3_list]) \
-        if w3_list else np.zeros((1, 9, C, C), np.float32)
+    # (S, 9*C, C): row k*C + c_in multiplies patch column k*C + c_in (k-major
+    # im2col layout, one big MXU matmul per conv instead of 9 small ones).
+    w3 = np.stack([w.reshape(9 * C, C) for w in w3_list]) \
+        if w3_list else np.zeros((1, 9 * C, C), np.float32)
     w1 = np.stack([np.pad(w, ((0, 0), (0, 7))) for w in w1_list]) \
         if w1_list else np.zeros((1, C, 8), np.float32)
     same_wf = np.stack([np.pad(w[:C], ((0, 0), (0, 7))) for w in same_w_list]) \
@@ -181,7 +183,7 @@ def _interpreter_kernel(
     same_slot_ref,   # (V,)
     # tensor inputs
     x_ref,           # (1, H, W, C) stem features block (VMEM)
-    w3_ref,          # (S3, 9, C, C) HBM — DMA'd per layer
+    w3_ref,          # (S3, 9C, C) HBM — DMA'd per layer (im2col rows)
     b3_ref,          # (S3, 8, 128) VMEM bias planes (row 0)
     w1_ref,          # (S1, C, 8) VMEM
     b1_ref,          # (S1, 8, 128) VMEM
@@ -198,7 +200,8 @@ def _interpreter_kernel(
     saved_reg,       # (H*W, C) VMEM
     acc,             # (H*W, C) f32 VMEM accumulator
     pad_buf,         # (H + 16, W + 16, C) VMEM padded input for shifted matmuls
-    w3_buf,          # (2, 9, C, C) VMEM weight double buffer
+    w3_buf,          # (2, 9C, C) VMEM weight double buffer
+    patches,         # (H*W, 9C) VMEM im2col buffer
     tag_ref,         # (4,) SMEM: out_tag, saved_tag, invalid
     sems,            # DMA semaphores (2,)
 ):
@@ -226,19 +229,21 @@ def _interpreter_kernel(
         pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
 
     def conv3x3_from_buf(inp, buf, bias_slot, dilation: int):
-        r"""9 shifted matmuls over the padded buffer; STATIC dilation."""
+        r"""In-VMEM im2col (9 shifted window copies) + ONE (HW, 9C) x (9C, C)
+        MXU matmul; STATIC dilation (Mosaic constant-offset requirement)."""
         d = dilation
         pad_buf[8:8 + H, 8:8 + W, :] = inp.reshape(H, W, C)
-        total = jnp.zeros((HW, C), jnp.float32)
         for ky in range(3):
             for kx in range(3):
                 oy = 8 + (ky - 1) * d
                 ox = 8 + (kx - 1) * d
-                window = pad_buf[oy:oy + H, ox:ox + W, :].reshape(HW, C)
-                total += jnp.dot(
-                    window.astype(dtype), w3_buf[buf, ky * 3 + kx],
-                    preferred_element_type=jnp.float32,
+                k = ky * 3 + kx
+                patches[:, k * C:(k + 1) * C] = (
+                    pad_buf[oy:oy + H, ox:ox + W, :].reshape(HW, C)
                 )
+        total = jnp.dot(
+            patches[...], w3_buf[buf], preferred_element_type=jnp.float32
+        )
         bias = b3_ref[bias_slot][0:1, :C].astype(jnp.float32)  # (1, C)
         return total + bias
 
@@ -248,128 +253,147 @@ def _interpreter_kernel(
         out_tag = tag_ref[0]
         saved_tag = tag_ref[1]
 
-        # ---------------- cheap register ops --------------------------------
-        @pl.when(kind == SCENE)
-        def _():
-            saved_reg[...] = out_reg[...]
-            out_reg[...] = jnp.ones_like(out_reg)
-            tag_ref[1] = out_tag
-            tag_ref[0] = TAG_ATTN
+        # Early abort: the reference wraps each example's whole program in
+        # try/except — the FIRST failure aborts the remaining execution
+        # (nmn.py:202-238). Once invalid, all further work is skipped (the
+        # output is zeroed regardless) — faithful AND the ragged-efficiency win.
+        valid = tag_ref[2] == 0
 
-        @pl.when((kind == AND) | (kind == OR))
-        def _():
-            a = out_reg[...]
-            s = saved_reg[...]
-            out_reg[...] = jnp.where(kind == AND, jnp.minimum(a, s), jnp.maximum(a, s))
-            both_attn = (out_tag == TAG_ATTN) & (saved_tag == TAG_ATTN)
-            tag_ref[0] = jnp.where(both_attn, TAG_ATTN, TAG_FEAT)
-            tag_ref[2] = tag_ref[2] | jnp.where(saved_tag == TAG_NONE, 1, 0)
-
-        # ---------------- unary conv chains (ATTENTION / QUERY / RELATE) ----
+        # ------- scalar dispatch + tag machine (pure SMEM math, no branching) -
+        is_binop = (kind == AND) | (kind == OR)
         is_chain = (kind == ATTENTION) | (kind == QUERY) | (kind == RELATE)
+        scene_ok = valid & (kind == SCENE)
+        binop_ok = valid & is_binop & (saved_tag != TAG_NONE)
+        do_chain = valid & is_chain & (out_tag == TAG_ATTN)
+        do_cmp = (
+            valid & (kind == COMPARE)
+            & (out_tag == TAG_FEAT) & (saved_tag == TAG_FEAT)
+        )
+        do_same = valid & (kind == SAME) & (out_tag == TAG_ATTN)
+        has_head = head_slot_ref[tok] >= 0
 
-        @pl.when(is_chain)
+        invalid_now = (
+            (is_binop & (saved_tag == TAG_NONE))
+            | (is_chain & (out_tag != TAG_ATTN))
+            | ((kind == COMPARE) & ((out_tag != TAG_FEAT) | (saved_tag != TAG_FEAT)))
+            | ((kind == SAME) & (out_tag != TAG_ATTN))
+        )
+        both_attn = (out_tag == TAG_ATTN) & (saved_tag == TAG_ATTN)
+        new_out_tag = jnp.where(
+            scene_ok, TAG_ATTN,
+            jnp.where(binop_ok, jnp.where(both_attn, TAG_ATTN, TAG_FEAT),
+            jnp.where(do_chain, jnp.where(has_head, TAG_ATTN, TAG_FEAT),
+            jnp.where(do_cmp, TAG_FEAT,
+            jnp.where(do_same, TAG_ATTN, out_tag)))),
+        )
+        tag_ref[0] = new_out_tag
+        tag_ref[1] = jnp.where(scene_ok, out_tag, saved_tag)
+        tag_ref[2] = tag_ref[2] | jnp.where(valid & invalid_now, 1, 0)
+
+        # ------- cheap register ops: unpredicated vector selects (VPU ~free) --
+        old_out = out_reg[...]
+        old_saved = saved_reg[...]
+        minmax = jnp.where(
+            kind == AND, jnp.minimum(old_out, old_saved),
+            jnp.maximum(old_out, old_saved),
+        )
+        out_reg[...] = jnp.where(
+            scene_ok, jnp.ones_like(old_out), jnp.where(binop_ok, minmax, old_out)
+        )
+        saved_reg[...] = jnp.where(scene_ok, old_out, old_saved)
+
+        # ------- heavy module work: ONE outer conditional region --------------
+        @pl.when(do_chain | do_cmp | do_same)
         def _():
-            n_layers = chain_len_ref[tok]
-            start_w3(slot3_ref[tok, 0], 0)
-            acc[...] = (x * out_reg[...]).astype(jnp.float32)
 
-            def run_layer(l: int, dilation: int):
-                cur, nxt = l % 2, (l + 1) % 2
-
-                @pl.when(l + 1 < n_layers)
-                def _():
-                    start_w3(slot3_ref[tok, l + 1], nxt)
-
-                wait_w3(slot3_ref[tok, l], cur)
-                result = conv3x3_from_buf(
-                    acc[...].astype(dtype), cur, slot3_ref[tok, l], dilation
-                )
-                acc[...] = jnp.maximum(result, 0.0)
-
-            # Static per-layer dilation schedule: attention/query = (1, 1);
-            # relate = (1, 2, 4, 8, 1). Only layer 1 is kind-dependent.
-            for l in range(MAX_CHAIN):
-                if l == 1:
-                    @pl.when((l < n_layers) & (kind == RELATE))
-                    def _(l=l):
-                        run_layer(l, 2)
-
-                    @pl.when((l < n_layers) & (kind != RELATE))
-                    def _(l=l):
-                        run_layer(l, 1)
-                else:
-                    @pl.when(l < n_layers)
-                    def _(l=l, dil={0: 1, 2: 4, 3: 8, 4: 1}[l]):
-                        run_layer(l, dil)
-
-            has_head = head_slot_ref[tok] >= 0
-
-            @pl.when(has_head)  # attention / relate: 1x1 -> sigmoid -> attn
+            @pl.when(do_chain & (kind == RELATE))
             def _():
+                # straight-line 5-layer dilated chain + sigmoid head
+                start_w3(slot3_ref[tok, 0], 0)
+                acc[...] = (x * out_reg[...]).astype(jnp.float32)
+                for l, dil in enumerate((1, 2, 4, 8, 1)):
+                    cur, nxt = l % 2, (l + 1) % 2
+                    if l + 1 < 5:
+                        start_w3(slot3_ref[tok, l + 1], nxt)
+                    wait_w3(slot3_ref[tok, l], cur)
+                    result = conv3x3_from_buf(
+                        acc[...].astype(dtype), cur, slot3_ref[tok, l], dil
+                    )
+                    acc[...] = jnp.maximum(result, 0.0)
                 hs = head_slot_ref[tok]
                 head = jnp.dot(
-                    acc[...].astype(dtype), w1_ref[hs], preferred_element_type=jnp.float32
+                    acc[...].astype(dtype), w1_ref[hs],
+                    preferred_element_type=jnp.float32,
                 ) + b1_ref[hs][0:1, :8].astype(jnp.float32)
                 attn = jax.nn.sigmoid(head[:, :1])
                 out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
-                tag_ref[0] = TAG_ATTN
 
-            @pl.when(jnp.logical_not(has_head))  # query: features out
+            @pl.when(do_chain & (kind != RELATE))
             def _():
-                out_reg[...] = acc[...].astype(dtype)
-                tag_ref[0] = TAG_FEAT
+                # attention/query: straight-line 2-layer chain
+                start_w3(slot3_ref[tok, 0], 0)
+                acc[...] = (x * out_reg[...]).astype(jnp.float32)
+                for l in range(2):
+                    cur, nxt = l % 2, (l + 1) % 2
+                    if l + 1 < 2:
+                        start_w3(slot3_ref[tok, l + 1], nxt)
+                    wait_w3(slot3_ref[tok, l], cur)
+                    result = conv3x3_from_buf(
+                        acc[...].astype(dtype), cur, slot3_ref[tok, l], 1
+                    )
+                    acc[...] = jnp.maximum(result, 0.0)
 
-            tag_ref[2] = tag_ref[2] | jnp.where(out_tag != TAG_ATTN, 1, 0)
+                @pl.when(has_head)  # attention: 1x1 -> sigmoid -> attn
+                def _():
+                    hs = head_slot_ref[tok]
+                    head = jnp.dot(
+                        acc[...].astype(dtype), w1_ref[hs],
+                        preferred_element_type=jnp.float32,
+                    ) + b1_ref[hs][0:1, :8].astype(jnp.float32)
+                    attn = jax.nn.sigmoid(head[:, :1])
+                    out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
 
-        # ---------------- COMPARE -------------------------------------------
-        @pl.when(kind == COMPARE)
-        def _():
-            cs = cmp_slot_ref[tok]
-            start_w3(slot3_ref[tok, 0], 0)
-            wc = wcmp_ref[cs]  # (2C, C)
-            proj = (
-                jnp.dot(out_reg[...], wc[:C], preferred_element_type=jnp.float32)
-                + jnp.dot(saved_reg[...], wc[C:], preferred_element_type=jnp.float32)
-                + bcmp_ref[cs][0:1, :C].astype(jnp.float32)
-            )
-            acc[...] = jnp.maximum(proj, 0.0)
+                @pl.when(jnp.logical_not(has_head))  # query: features out
+                def _():
+                    out_reg[...] = acc[...].astype(dtype)
 
-            for l in range(2):  # static unroll, dilation 1
-                cur, nxt = l % 2, (l + 1) % 2
-                if l + 1 < 2:
-                    start_w3(slot3_ref[tok, l + 1], nxt)
-                wait_w3(slot3_ref[tok, l], cur)
-                result = conv3x3_from_buf(
-                    acc[...].astype(dtype), cur, slot3_ref[tok, l], 1
+            @pl.when(do_cmp)
+            def _():
+                cs = cmp_slot_ref[tok]
+                start_w3(slot3_ref[tok, 0], 0)
+                wc = wcmp_ref[cs]  # (2C, C)
+                proj = (
+                    jnp.dot(out_reg[...], wc[:C], preferred_element_type=jnp.float32)
+                    + jnp.dot(saved_reg[...], wc[C:], preferred_element_type=jnp.float32)
+                    + bcmp_ref[cs][0:1, :C].astype(jnp.float32)
                 )
-                acc[...] = jnp.maximum(result, 0.0)
-            out_reg[...] = acc[...].astype(dtype)
-            tag_ref[2] = tag_ref[2] | jnp.where(
-                (out_tag != TAG_FEAT) | (saved_tag != TAG_FEAT), 1, 0
-            )
-            tag_ref[0] = TAG_FEAT
+                acc[...] = jnp.maximum(proj, 0.0)
+                for l in range(2):
+                    cur, nxt = l % 2, (l + 1) % 2
+                    if l + 1 < 2:
+                        start_w3(slot3_ref[tok, l + 1], nxt)
+                    wait_w3(slot3_ref[tok, l], cur)
+                    result = conv3x3_from_buf(
+                        acc[...].astype(dtype), cur, slot3_ref[tok, l], 1
+                    )
+                    acc[...] = jnp.maximum(result, 0.0)
+                out_reg[...] = acc[...].astype(dtype)
 
-        # ---------------- SAME ----------------------------------------------
-        @pl.when(kind == SAME)
-        def _():
-            ss = same_slot_ref[tok]
-            attn_col = out_reg[:, :1]  # (HW, 1) channel-0 attention
-            am = jnp.argmax(attn_col[:, 0].astype(jnp.float32), axis=0)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0] == am
-            ).astype(dtype)
-            vec = jnp.sum(x * onehot[:, None], axis=0, keepdims=True)  # (1, C)
-            xsel = x * vec  # cross-correlation with the argmax location's features
-
-            head = jnp.dot(xsel, same_wf_ref[ss], preferred_element_type=jnp.float32)
-            # fold the (C+1)-th input row (the attention channel) in explicitly:
-            head = head + attn_col.astype(jnp.float32) * same_wa_ref[ss, 0]
-            head = head + same_b_ref[ss][0:1, :8].astype(jnp.float32)
-            attn = jax.nn.sigmoid(head[:, :1])
-            out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
-            tag_ref[2] = tag_ref[2] | jnp.where(out_tag != TAG_ATTN, 1, 0)
-            tag_ref[0] = TAG_ATTN
+            @pl.when(do_same)
+            def _():
+                ss = same_slot_ref[tok]
+                attn_col = out_reg[:, :1]  # (HW, 1) channel-0 attention
+                am = jnp.argmax(attn_col[:, 0].astype(jnp.float32), axis=0)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0] == am
+                ).astype(dtype)
+                vec = jnp.sum(x * onehot[:, None], axis=0, keepdims=True)  # (1, C)
+                xsel = x * vec  # cross-correlate with the argmax location's features
+                head = jnp.dot(xsel, same_wf_ref[ss], preferred_element_type=jnp.float32)
+                head = head + attn_col.astype(jnp.float32) * same_wa_ref[ss, 0]
+                head = head + same_b_ref[ss][0:1, :8].astype(jnp.float32)
+                attn = jax.nn.sigmoid(head[:, :1])
+                out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
 
         return ()
 
@@ -418,7 +442,8 @@ def execute_programs_pallas(
             pltpu.VMEM((H * W, C), stem_feats.dtype),            # saved_reg
             pltpu.VMEM((H * W, C), jnp.float32),                 # acc
             pltpu.VMEM((H + 16, W + 16, C), stem_feats.dtype),   # pad_buf
-            pltpu.VMEM((2, 9, C, C), banks["w3"].dtype),         # w3 double buffer
+            pltpu.VMEM((2, 9 * C, C), banks["w3"].dtype),        # w3 double buffer
+            pltpu.VMEM((H * W, 9 * C), stem_feats.dtype),        # im2col patches
             pltpu.SMEM((4,), jnp.int32),                         # tags
             pltpu.SemaphoreType.DMA((2,)),
         ],
