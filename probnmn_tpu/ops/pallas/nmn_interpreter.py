@@ -14,14 +14,21 @@ This kernel executes each example's program *exactly*:
   kind, bank slots and chain length are scalar table lookups;
 - only the branch for the step's module kind runs (``@pl.when`` predication) —
   a pad/scene/and/or step costs ~nothing, a filter costs exactly its 3 convs;
-- the large unified 3x3 conv bank stays in HBM; each chain layer's (9, C, C)
+- the large unified 3x3 conv bank stays in HBM; each chain layer's (9C, C)
   weights are DMA'd by slot index into a VMEM double buffer (next layer's DMA
-  overlaps the current layer's matmuls). All small banks (1x1 heads, compare
+  overlaps the current layer's matmul). All small banks (1x1 heads, compare
   projections, biases) are VMEM-resident and indexed directly;
-- a 3x3 conv at STATIC dilation d is 9 shifted (196, 128) x (128, 128) MXU
-  matmuls accumulated from a padded VMEM buffer — no im2col in HBM. (Mosaic
-  requires constant sublane offsets, so the chain is unrolled over layers with a
-  static per-layer dilation schedule; only layer 1 branches on relate-vs-rest.)
+- a 3x3 conv at STATIC dilation d is an in-VMEM im2col (9 shifted window copies
+  from a padded buffer) followed by ONE (196, 1152) x (1152, 128) MXU matmul
+  (Mosaic requires constant sublane offsets, so chains are straight-line per
+  kind with a static dilation schedule);
+- the tag/dispatch machine is pure scalar SMEM math and the scene/and/or
+  register updates are unpredicated vector selects — conditional regions are
+  expensive on TPU, so ALL module compute sits behind a single outer
+  ``@pl.when`` with per-kind straight-line bodies;
+- execution aborts at the first invalid operation, exactly like the reference's
+  per-example try/except (nmn.py:202-238) — faithful semantics that double as
+  ragged efficiency on malformed programs.
 
 Semantics are identical to ``models/nmn.py::execute_programs`` (same tag machine,
 same invalid rules); equivalence is tested in interpret mode and on device.

@@ -74,6 +74,7 @@ class _Trainer:
             serialization_dir=serialization_dir, keep_recent=100
         )
         self._rng = jax.random.PRNGKey(self._C.RANDOM_SEED)
+        self._vocabulary = None  # set by phase trainers that support .pth porting
         self._baseline = np.float32(0.0)  # REINFORCE moving-average baseline
         self._iteration: int = -1
         self._step_timer = StepTimer(batch_size=self._C.OPTIM.BATCH_SIZE)
@@ -138,7 +139,25 @@ class _Trainer:
                     f"val/metrics/{model_name}/{metric_name}", value, self._iteration
                 )
 
+    def model_specs(self) -> Dict[str, Any]:
+        r"""model name -> spec, for porting reference .pth checkpoints. Phase
+        trainers override; the default empty dict disables .pth loading."""
+        return {}
+
     def load_checkpoint(self, checkpoint_path: str, iteration: Optional[int] = None):
+        if checkpoint_path.endswith(".pth"):
+            # Reference checkpoint: port model weights (optimizer/scheduler state
+            # is torch-specific and starts fresh).
+            from probnmn_tpu.utils.checkpointing import load_objects_flexible
+
+            restored, ckpt_iteration, _ = load_objects_flexible(
+                checkpoint_path, dict(self._params),
+                specs=self.model_specs(), vocabulary=self._vocabulary,
+            )
+            for name in self._params:
+                self._params[name] = jax.device_put(restored[name])
+            self._iteration = iteration if iteration is not None else ckpt_iteration
+            return
         templates = self._checkpointables()
         restored, ckpt_iteration = self._checkpoint_manager.load(checkpoint_path, templates)
         for name in self._params:

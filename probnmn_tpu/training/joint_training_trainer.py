@@ -92,6 +92,7 @@ class JointTrainingTrainer(_Trainer):
         models.update(restored)
 
         super().__init__(config, batches, models, serialization_dir)
+        self._vocabulary = vocabulary
 
         # Frozen prior (reference :109-114).
         self.prior_spec = make_prior_spec(config, vocabulary)
@@ -214,3 +215,8 @@ class JointTrainingTrainer(_Trainer):
     @property
     def prior_params(self):
         return self._prior_params
+
+    def model_specs(self):
+        return {"program_generator": self.pg_spec,
+                "question_reconstructor": self.qr_spec,
+                "nmn": self.nmn_spec}

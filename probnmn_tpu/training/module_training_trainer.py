@@ -48,6 +48,7 @@ class ModuleTrainingTrainer(_Trainer):
             jax.random.PRNGKey(config.RANDOM_SEED), self.nmn_spec
         )
         super().__init__(config, batches, {"nmn": params}, serialization_dir)
+        self._vocabulary = vocabulary
 
         # Frozen ProgramGenerator from the question_coding checkpoint.
         self.pg_spec = program_generator.make_spec(vocabulary, config)
@@ -97,3 +98,6 @@ class ModuleTrainingTrainer(_Trainer):
     @property
     def pg_params(self):
         return self._pg_params
+
+    def model_specs(self):
+        return {"nmn": self.nmn_spec}

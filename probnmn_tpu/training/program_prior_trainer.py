@@ -51,6 +51,7 @@ class ProgramPriorTrainer(_Trainer):
         )
 
         super().__init__(config, batches, {"program_prior": params}, serialization_dir)
+        self._vocabulary = vocabulary
         self._train_step = self._build_step_fn()
 
     def _build_step_fn(self):
@@ -79,3 +80,6 @@ class ProgramPriorTrainer(_Trainer):
         # Reciprocate perplexity to make it "higher is better".
         val_metrics["metric"] = 1.0 / val_metrics["program_prior"]["perplexity"]
         super().after_validation(val_metrics, iteration)
+
+    def model_specs(self):
+        return {"program_prior": self.spec}

@@ -59,6 +59,7 @@ class QuestionCodingTrainer(_Trainer):
             "question_reconstructor": question_reconstructor.init_params(k_qr, self.qr_spec),
         }
         super().__init__(config, batches, models, serialization_dir)
+        self._vocabulary = vocabulary
 
         # Frozen ProgramPrior from the program_prior phase checkpoint.
         self.prior_spec = make_prior_spec(config, vocabulary)
@@ -157,3 +158,7 @@ class QuestionCodingTrainer(_Trainer):
     @property
     def prior_params(self):
         return self._prior_params
+
+    def model_specs(self):
+        return {"program_generator": self.pg_spec,
+                "question_reconstructor": self.qr_spec}

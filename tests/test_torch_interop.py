@@ -147,3 +147,44 @@ def test_nmn_port_matches_direct_torch_forward():
         np.asarray(ours["loss"]), loss.detach().numpy(), rtol=2e-5, atol=1e-3
     )
     assert not np.asarray(ours["invalid"]).any()
+
+
+def test_trainer_loads_reference_pth_checkpoint(tmp_path):
+    """End-to-end: a reference-style .pth (torch-serialized, reference key names)
+    loads through the phase trainer's checkpoint paths."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from clevr_fixtures import build_fixture_data, make_fixture_config
+    from probnmn_tpu.training.program_prior_trainer import ProgramPriorTrainer
+
+    root = str(tmp_path)
+    build_fixture_data(root, n_train=16, n_val=8)
+    config = make_fixture_config(root, "program_prior")
+    np.random.seed(config.RANDOM_SEED)
+    trainer = ProgramPriorTrainer(config, os.path.join(root, "run"))
+
+    # reference-style checkpoint: {"program_prior": state_dict, "optimizer": ..., "iteration": N}
+    torch.manual_seed(3)
+    V = 16  # fixture program vocab size
+    D, H = config.PROGRAM_PRIOR.INPUT_SIZE, config.PROGRAM_PRIOR.HIDDEN_SIZE
+    lstm = torch.nn.LSTM(D, H, config.PROGRAM_PRIOR.NUM_LAYERS, batch_first=True)
+    state = {
+        "_embedder.token_embedder_programs.weight": torch.randn(V, D),
+        "_projection_layer.weight": torch.randn(D, H),
+        "_output_layer.weight": torch.randn(V, D),
+    }
+    state.update({f"_encoder._module.{k}": v for k, v in lstm.state_dict().items()})
+    pth = os.path.join(root, "reference.pth")
+    torch.save({"program_prior": state, "optimizer": {"dummy": 1}, "iteration": 777}, pth)
+
+    trainer.load_checkpoint(pth)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.params["program_prior"]["embedding"]),
+        state["_embedder.token_embedder_programs.weight"].numpy(),
+    )
+    # training continues from the ported weights
+    batch = next(trainer._batches)
+    logs = trainer._do_iteration(batch)
+    assert np.isfinite(float(logs["loss"]))
