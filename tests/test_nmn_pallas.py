@@ -75,3 +75,22 @@ def test_fast_inference_fn_matches_nmn_forward(setup):
         np.asarray(out["predictions"]), np.asarray(ref["predictions"])
     )
     np.testing.assert_allclose(np.asarray(out["loss"]), np.asarray(ref["loss"]), atol=1e-5)
+
+
+def test_fused_lstm_layer_matches_scan():
+    """Experimental fused LSTM kernel == the scan reference (interpret mode)."""
+    from probnmn_tpu.ops import rnn
+    from probnmn_tpu.ops.pallas.lstm import lstm_encode_pallas
+
+    B, T, D, H, L = 4, 7, 8, 12, 2
+    params = rnn.init_lstm_params(jax.random.PRNGKey(0), D, H, L)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
+    lengths = np.array([7, 5, 3, 1])
+    mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
+    ref_out, ref_finals = rnn.lstm_encode(params, x, mask)
+    out, finals = lstm_encode_pallas(params, x, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+    for layer in range(L):
+        np.testing.assert_allclose(
+            np.asarray(finals[layer][0]), np.asarray(ref_finals[layer][0]), atol=1e-5
+        )
