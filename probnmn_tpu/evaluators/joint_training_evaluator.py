@@ -37,6 +37,9 @@ class JointTrainingEvaluator(_Evaluator):
         self._answer_accuracy = BooleanAccuracy()
         self._average_invalid = Average()
 
+        self._use_fast = jax.default_backend() not in ("cpu",)
+        self._fast_tables = None
+
         def eval_step(params, batch):
             pg_out = seq2seq_forward(
                 params["program_generator"], self._pg_spec,
@@ -50,8 +53,36 @@ class JointTrainingEvaluator(_Evaluator):
 
         self._eval_step = jax.jit(eval_step)
 
+        def fast_step(banks, tables, stem_p, cls_p, pg_params, batch):
+            pg_out = seq2seq_forward(
+                pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
+            )
+            nmn_out = nmn_lib.fast_forward_from_tables(
+                banks, tables, self._nmn_spec, stem_p, cls_p,
+                batch["image"], pg_out["predictions"], batch["answer"],
+            )
+            return pg_out, nmn_out
+
+        self._fast_step = jax.jit(fast_step)
+
+    def _begin(self) -> None:
+        if self._use_fast:
+            from probnmn_tpu.ops.pallas.nmn_interpreter import build_kernel_tables
+
+            self._fast_tables = build_kernel_tables(
+                self._trainer.params["nmn"], self._nmn_spec
+            )
+
     def _do_iteration(self, batch: Dict[str, Any]) -> None:
-        pg_out, nmn_out = self._eval_step(self._trainer.params, batch)
+        params = self._trainer.params
+        if self._use_fast:
+            banks, tables = self._fast_tables
+            pg_out, nmn_out = self._fast_step(
+                banks, tables, params["nmn"]["stem"], params["nmn"]["classifier"],
+                params["program_generator"], batch,
+            )
+        else:
+            pg_out, nmn_out = self._eval_step(params, batch)
         self._pg_metrics.update(pg_out)
         self._answer_accuracy(
             np.asarray(nmn_out["predictions"]), np.asarray(batch["answer"])

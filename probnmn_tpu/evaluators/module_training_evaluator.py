@@ -45,6 +45,12 @@ class ModuleTrainingEvaluator(_Evaluator):
         self._answer_accuracy = BooleanAccuracy()
         self._average_invalid = Average()
 
+        # On TPU, validation runs through the fused Pallas interpreter; the
+        # banks are rebuilt from the live parameters at the start of each
+        # evaluate() call, while the jitted step stays cached (all-array args).
+        self._use_fast = jax.default_backend() not in ("cpu",)
+        self._fast_tables = None
+
         def eval_step(nmn_params, pg_params, batch):
             pg_out = seq2seq_forward(
                 pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
@@ -57,8 +63,34 @@ class ModuleTrainingEvaluator(_Evaluator):
 
         self._eval_step = jax.jit(eval_step)
 
+        def fast_step(banks, tables, stem_p, cls_p, pg_params, batch):
+            pg_out = seq2seq_forward(
+                pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
+            )
+            return nmn_lib.fast_forward_from_tables(
+                banks, tables, self._nmn_spec, stem_p, cls_p,
+                batch["image"], pg_out["predictions"], batch["answer"],
+            )
+
+        self._fast_step = jax.jit(fast_step)
+
+    def _begin(self) -> None:
+        if self._use_fast:
+            from probnmn_tpu.ops.pallas.nmn_interpreter import build_kernel_tables
+
+            nmn_params = self._trainer.params["nmn"]
+            self._fast_tables = build_kernel_tables(nmn_params, self._nmn_spec)
+
     def _do_iteration(self, batch: Dict[str, Any]) -> None:
-        out = self._eval_step(self._trainer.params["nmn"], self._pg_params, batch)
+        nmn_params = self._trainer.params["nmn"]
+        if self._use_fast:
+            banks, tables = self._fast_tables
+            out = self._fast_step(
+                banks, tables, nmn_params["stem"], nmn_params["classifier"],
+                self._pg_params, batch,
+            )
+        else:
+            out = self._eval_step(nmn_params, self._pg_params, batch)
         self._answer_accuracy(np.asarray(out["predictions"]), np.asarray(batch["answer"]))
         self._average_invalid(float(np.asarray(out["invalid"]).sum()))
 

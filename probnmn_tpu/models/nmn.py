@@ -403,6 +403,57 @@ def nmn_forward(
     }
 
 
+def fast_forward_from_tables(
+    banks: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    spec: NMNSpec,
+    stem_params: Dict[str, Any],
+    classifier_params: Dict[str, Any],
+    features: jax.Array,
+    programs: jax.Array,
+    answers: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    r"""Fused-Pallas forward as a pure function of arrays.
+
+    Unlike :func:`make_fast_inference_fn` (which closes over a parameter
+    snapshot), every tensor is an argument here, so one ``jax.jit`` of this
+    function stays cached across parameter updates — evaluators rebuild the
+    banks each validation without recompiling.
+    """
+    from probnmn_tpu.ops.pallas.nmn_interpreter import execute_programs_pallas
+
+    dtype = banks["w3"].dtype
+    stem_feats = apply_stem(
+        jax.tree_util.tree_map(lambda x: x.astype(dtype), stem_params),
+        features.astype(dtype),
+    )
+    final, invalid = execute_programs_pallas(
+        banks, tables, spec, stem_feats, programs, interpret=interpret
+    )
+    logits = apply_classifier(
+        jax.tree_util.tree_map(lambda x: x.astype(dtype), classifier_params), final
+    ).astype(jnp.float32)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    pred_logprob = jnp.max(logprobs, axis=-1)
+    predictions = jnp.argmax(logprobs, axis=-1)
+    predictions = jnp.where(invalid, spec.unk_answer_index, predictions)
+    if answers is not None:
+        ce = -jnp.take_along_axis(logprobs, answers[:, None], axis=-1)[:, 0]
+        loss = jnp.where(invalid, INVALID_LOSS, ce)
+        accuracy = (predictions == answers).mean()
+    else:
+        loss = jnp.where(invalid, INVALID_LOSS, -pred_logprob)
+        accuracy = jnp.zeros(())
+    return {
+        "predictions": predictions,
+        "loss": loss,
+        "answer_logits": logits,
+        "invalid": invalid,
+        "metrics": {"answer_accuracy": accuracy, "average_invalid": invalid.sum()},
+    }
+
+
 def make_fast_inference_fn(params: Dict[str, Any], spec: NMNSpec, interpret: bool = False):
     r"""Build the fused-Pallas inference forward (the hot serving path).
 
