@@ -45,7 +45,7 @@ parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--serialization-dir", default="checkpoints/experiment")
 parser.add_argument("--checkpoint-every", type=int, default=500)
 parser.add_argument("--start-from-checkpoint", default="")
-parser.add_argument("--num-val-batches", type=int, default=None)
+parser.add_argument("--num-val-batches", type=int, default=256)
 
 TRAINERS = {
     "program_prior": ProgramPriorTrainer,
