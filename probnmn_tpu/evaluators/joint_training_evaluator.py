@@ -37,7 +37,11 @@ class JointTrainingEvaluator(_Evaluator):
         self._answer_accuracy = BooleanAccuracy()
         self._average_invalid = Average()
 
-        self._use_fast = jax.default_backend() not in ("cpu",)
+        # Pallas path needs TPU + lane-aligned module channels (Mosaic tiling).
+        self._use_fast = (
+            jax.default_backend() not in ("cpu",)
+            and self._nmn_spec.module_channels % 128 == 0
+        )
         self._fast_tables = None
 
         def eval_step(params, batch):

@@ -48,7 +48,11 @@ class ModuleTrainingEvaluator(_Evaluator):
         # On TPU, validation runs through the fused Pallas interpreter; the
         # banks are rebuilt from the live parameters at the start of each
         # evaluate() call, while the jitted step stays cached (all-array args).
-        self._use_fast = jax.default_backend() not in ("cpu",)
+        # Pallas path needs TPU + lane-aligned module channels (Mosaic tiling).
+        self._use_fast = (
+            jax.default_backend() not in ("cpu",)
+            and self._nmn_spec.module_channels % 128 == 0
+        )
         self._fast_tables = None
 
         def eval_step(nmn_params, pg_params, batch):
