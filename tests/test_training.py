@@ -183,3 +183,22 @@ def test_inference_script(pipeline, tmp_path):
     predictions = json.load(open(predictions_path))
     assert len(predictions) == 16  # val-size test fixture, batch 8 x 2
     assert {"question_index", "answer"} <= set(predictions[0].keys())
+
+
+def test_evaluate_script(pipeline):
+    """scripts/evaluate.py end-to-end: loads a checkpoint, runs the val split."""
+    root = pipeline["root"]
+    assert pipeline.get("prior_trained")
+    import os
+    from scripts import evaluate
+
+    config_path = os.path.join(root, "eval_config.yml")
+    make_fixture_config(root, "program_prior").dump(config_path)
+    args = evaluate.parser.parse_args(
+        [
+            "--phase", "program_prior",
+            "--config-yml", config_path,
+            "--checkpoint-path", os.path.join(root, "program_prior_best.ckpt"),
+        ]
+    )
+    evaluate.main(args)  # logs metrics; must not raise
