@@ -76,13 +76,19 @@ def program_prior_forward(
     spec: ProgramPriorSpec,
     program_tokens: jax.Array,
     rng: jax.Array,
+    train: bool = False,
 ) -> Dict[str, jax.Array]:
-    r"""Teacher-forced LM pass. Returns ``{"predictions": (B, T+1), "loss": (B,)}``."""
+    r"""Teacher-forced LM pass. Returns ``{"predictions": (B, T+1), "loss": (B,)}``.
+    ``train=True`` enables torch-style inter-layer LSTM dropout."""
     tokens = add_boundary(program_tokens, spec.pad_index, spec.start_index, spec.end_index)
     mask = tokens != spec.pad_index
 
     embedded = embed(params["embedding"], tokens, pad_index=spec.pad_index)
-    encoded, _ = rnn.lstm_encode(params["encoder"], embedded, mask)
+    encoded, _ = rnn.lstm_encode(
+        params["encoder"], embedded, mask,
+        dropout=spec.dropout if train else 0.0,
+        dropout_rng=jax.random.fold_in(rng, 991) if train and spec.dropout > 0.0 else None,
+    )
     logits, _ = _lm_logits(params, encoded)
 
     # Ancestral per-position samples (API parity; used for qualitative eval prints).

@@ -86,13 +86,24 @@ def init_seq2seq_params(key: jax.Array, spec: Seq2SeqSpec) -> Dict[str, Any]:
     }
 
 
-def _encode(params: Dict[str, Any], spec: Seq2SeqSpec, source_tokens: jax.Array):
-    r"""Boundary-add, strip @start@, embed, run masked encoder (reference forward:127-145)."""
+def _encode(
+    params: Dict[str, Any],
+    spec: Seq2SeqSpec,
+    source_tokens: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    r"""Boundary-add, strip @start@, embed, run masked encoder (reference forward:127-145).
+
+    ``dropout_rng`` enables the encoder's torch-style inter-layer dropout
+    (training only; all shipped configs use DROPOUT=0.0)."""
     source = add_boundary(source_tokens, spec.pad_index, spec.start_index, spec.end_index)
     source = source[:, 1:]  # "@start@" is removed from source sequences
     source_mask = source != spec.pad_index
     embedded = embed(params["source_embedding"], source, pad_index=spec.pad_index)
-    encoder_outputs, finals = rnn.lstm_encode(params["encoder"], embedded, source_mask)
+    encoder_outputs, finals = rnn.lstm_encode(
+        params["encoder"], embedded, source_mask,
+        dropout=spec.dropout, dropout_rng=dropout_rng,
+    )
     # Decoder hidden initialized from final encoder state of the top layer; context zero.
     decoder_hidden = finals[-1][0]
     decoder_context = jnp.zeros_like(decoder_hidden)
@@ -129,17 +140,24 @@ def seq2seq_forward(
     target_tokens: Optional[jax.Array] = None,
     decoding_strategy: str = SAMPLING,
     rng: Optional[jax.Array] = None,
+    train: bool = False,
 ) -> Dict[str, jax.Array]:
     r"""Forward pass; returns ``{"predictions": (B, T'), "loss": (B,)}`` (+ "logits").
 
     With ``target_tokens``: teacher forcing; loss is per-example sequence CE.
     Without: free-running decode for ``max_decoding_steps``; loss is the
     length-normalized negative logprob of the sampled/greedy tokens (REINFORCE input).
+    ``train=True`` enables encoder inter-layer dropout (needs ``rng``).
     """
     if decoding_strategy == SAMPLING and rng is None:
         raise ValueError("sampling decode requires an rng key")
     batch = source_tokens.shape[0]
-    encoder_outputs, source_mask, h0, c0 = _encode(params, spec, source_tokens)
+    dropout_rng = (
+        jax.random.fold_in(rng, 997) if (train and spec.dropout > 0.0 and rng is not None) else None
+    )
+    encoder_outputs, source_mask, h0, c0 = _encode(
+        params, spec, source_tokens, dropout_rng=dropout_rng
+    )
 
     teacher_forcing = target_tokens is not None
     if teacher_forcing:

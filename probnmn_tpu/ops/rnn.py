@@ -16,7 +16,7 @@ These reproduce the behavior the reference gets from ``nn.LSTM`` /
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,14 +106,28 @@ def _lstm_layer(
 
 
 def lstm_encode(
-    params: List[Dict[str, jax.Array]], x: jax.Array, mask: jax.Array
+    params: List[Dict[str, jax.Array]],
+    x: jax.Array,
+    mask: jax.Array,
+    dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
-    r"""Multi-layer masked LSTM. Returns (top-layer outputs (B, T, H), per-layer finals)."""
+    r"""Multi-layer masked LSTM. Returns (top-layer outputs (B, T, H), per-layer finals).
+
+    ``dropout`` follows torch ``nn.LSTM`` semantics: applied to each layer's
+    outputs EXCEPT the last, training-time only (pass ``dropout_rng`` to enable;
+    evaluation passes None).
+    """
     outputs = x
     finals = []
-    for layer_params in params:
+    for layer, layer_params in enumerate(params):
         outputs, final = _lstm_layer(layer_params, outputs, mask)
         finals.append(final)
+        if dropout > 0.0 and dropout_rng is not None and layer + 1 < len(params):
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, layer), 1.0 - dropout, outputs.shape
+            )
+            outputs = jnp.where(keep, outputs / (1.0 - dropout), 0.0)
     return outputs, finals
 
 

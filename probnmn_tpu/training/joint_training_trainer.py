@@ -123,12 +123,12 @@ class JointTrainingTrainer(_Trainer):
                 # --- unsupervised subset: sample z, reconstruct x, answer via NMN ---
                 pg_free = seq2seq_forward(
                     p["program_generator"], pg_spec,
-                    batch["question"], None, "sampling", keys[0],
+                    batch["question"], None, "sampling", keys[0], train=True,
                 )
                 z = pg_free["predictions"]
                 qr_rec = seq2seq_forward(
                     p["question_reconstructor"], qr_spec,
-                    z, batch["question"], "sampling", keys[1],
+                    z, batch["question"], "sampling", keys[1], train=True,
                 )
                 nmn_out = nmn_lib.nmn_forward(
                     p["nmn"], nmn_spec, batch["image"], z, batch["answer"]
@@ -170,11 +170,11 @@ class JointTrainingTrainer(_Trainer):
                 # --- supervised subset: teacher-forced PG/QR (reference :154-177) ---
                 pg_sup = seq2seq_forward(
                     p["program_generator"], pg_spec,
-                    batch["question"], batch["program"], "sampling", keys[3],
+                    batch["question"], batch["program"], "sampling", keys[3], train=True,
                 )
                 qr_sup = seq2seq_forward(
                     p["question_reconstructor"], qr_spec,
-                    batch["program"], batch["question"], "sampling", keys[4],
+                    batch["program"], batch["question"], "sampling", keys[4], train=True,
                 )
                 pg_loss_sup = masked_mean(pg_sup["loss"], sup)
                 qr_loss_sup = masked_mean(qr_sup["loss"], sup)

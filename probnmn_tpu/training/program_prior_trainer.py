@@ -60,7 +60,7 @@ class ProgramPriorTrainer(_Trainer):
         @jax.jit
         def train_step(params, opt_state, rng, batch):
             def loss_fn(p):
-                out = program_prior_forward(p["program_prior"], spec, batch["program"], rng)
+                out = program_prior_forward(p["program_prior"], spec, batch["program"], rng, train=True)
                 return out["loss"].mean()
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -87,11 +87,11 @@ class QuestionCodingTrainer(_Trainer):
                 # Supervised teacher-forced losses (means over the supervised subset).
                 pg_sup = seq2seq_forward(
                     p["program_generator"], pg_spec,
-                    batch["question"], batch["program"], "sampling", keys[0],
+                    batch["question"], batch["program"], "sampling", keys[0], train=True,
                 )
                 qr_sup = seq2seq_forward(
                     p["question_reconstructor"], qr_spec,
-                    batch["program"], batch["question"], "sampling", keys[1],
+                    batch["program"], batch["question"], "sampling", keys[1], train=True,
                 )
                 pg_loss_sup = masked_mean(pg_sup["loss"], sup)
                 qr_loss_sup = masked_mean(qr_sup["loss"], sup)
@@ -110,12 +110,12 @@ class QuestionCodingTrainer(_Trainer):
                 unsup = 1.0 - sup
                 pg_free = seq2seq_forward(
                     p["program_generator"], pg_spec,
-                    batch["question"], None, "sampling", keys[2],
+                    batch["question"], None, "sampling", keys[2], train=True,
                 )
                 z = pg_free["predictions"]
                 qr_rec = seq2seq_forward(
                     p["question_reconstructor"], qr_spec,
-                    z, batch["question"], "sampling", keys[3],
+                    z, batch["question"], "sampling", keys[3], train=True,
                 )
                 prior_out = program_prior_forward(prior_params, prior_spec, z, keys[4])
 

@@ -144,3 +144,25 @@ def test_length_normalized_logprob_loss():
     loss = np.asarray(length_normalized_logprob_loss(logprobs, preds, pad_index=0))
     np.testing.assert_allclose(loss[0], (1.0 + 2.0) / 2, rtol=1e-6)
     np.testing.assert_allclose(loss[1], 0.0, atol=1e-6)
+
+
+def test_lstm_interlayer_dropout_torch_semantics():
+    """Dropout applies between layers (not after the last), training only."""
+    B, T, D, H, L = 3, 5, 6, 8, 2
+    params = rnn.init_lstm_params(jax.random.PRNGKey(0), D, H, L)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
+    mask = jnp.ones((B, T), bool)
+
+    out_eval, _ = rnn.lstm_encode(params, x, mask, dropout=0.5, dropout_rng=None)
+    out_ref, _ = rnn.lstm_encode(params, x, mask)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_ref))  # eval = no-op
+
+    out_a, _ = rnn.lstm_encode(params, x, mask, dropout=0.5, dropout_rng=jax.random.PRNGKey(2))
+    out_b, _ = rnn.lstm_encode(params, x, mask, dropout=0.5, dropout_rng=jax.random.PRNGKey(3))
+    assert (np.asarray(out_a) != np.asarray(out_ref)).any()   # training changes outputs
+    assert (np.asarray(out_a) != np.asarray(out_b)).any()     # rng-dependent
+    # single layer: no dropout position exists -> identical to eval
+    one_layer = [params[0]]
+    o1, _ = rnn.lstm_encode(one_layer, x, mask, dropout=0.5, dropout_rng=jax.random.PRNGKey(2))
+    o2, _ = rnn.lstm_encode(one_layer, x, mask)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
