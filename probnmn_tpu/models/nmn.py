@@ -212,28 +212,6 @@ def _bcast(attn: jax.Array, channels: int) -> jax.Array:
     return jnp.broadcast_to(attn, attn.shape[:-1] + (channels,))
 
 
-def _attention_chain(params, x, idx, channels):
-    out = jax.nn.relu(gconv.gathered_conv3x3(x, params["conv1"], idx))
-    out = jax.nn.relu(gconv.gathered_conv3x3(out, params["conv2"], idx))
-    out = jax.nn.sigmoid(gconv.gathered_conv1x1(out, params["conv3"], idx))
-    return _bcast(out, channels)
-
-
-def _query_chain(params, x, idx):
-    out = jax.nn.relu(gconv.gathered_conv3x3(x, params["conv1"], idx))
-    return jax.nn.relu(gconv.gathered_conv3x3(out, params["conv2"], idx))
-
-
-def _relate_chain(params, x, idx, channels):
-    out = x
-    for i, dilation in enumerate((1, 2, 4, 8, 1), start=1):
-        out = jax.nn.relu(
-            gconv.gathered_conv3x3(out, params[f"conv{i}"], idx, dilation=dilation)
-        )
-    out = jax.nn.sigmoid(gconv.gathered_conv1x1(out, params["conv6"], idx))
-    return _bcast(out, channels)
-
-
 def _same_chain(params, feats, attn_full, idx, channels):
     r"""Argmax-location feature gather + cross-correlation (reference
     ``nmn_modules.py:200-208``; per-example batch=1 there, so the argmax is the
@@ -250,13 +228,6 @@ def _same_chain(params, feats, attn_full, idx, channels):
     return _bcast(out, channels)
 
 
-def _compare_chain(params, in1, in2, idx):
-    x = jnp.concatenate([in1, in2], axis=-1)
-    out = jax.nn.relu(gconv.gathered_conv1x1(x, params["projection"], idx))
-    out = jax.nn.relu(gconv.gathered_conv3x3(out, params["conv1"], idx))
-    return jax.nn.relu(gconv.gathered_conv3x3(out, params["conv2"], idx))
-
-
 def apply_stem(params: Dict[str, Any], features: jax.Array) -> jax.Array:
     out = jax.nn.relu(gconv.conv3x3(features, params["w1"], params["b1"]))
     return jax.nn.relu(gconv.conv3x3(out, params["w2"], params["b2"]))
@@ -271,6 +242,69 @@ def apply_classifier(params: Dict[str, Any], x: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------------ interpreter -------
+def _unified_chain_tables(spec: NMNSpec):
+    r"""Canonical unified-3x3-bank layout + per-token chain tables.
+
+    Bank slot order: [att.conv1 | att.conv2 | query.conv1 | query.conv2 |
+    relate.conv1..conv5 | compare.conv1 | compare.conv2], each block sized by its
+    class's bank. ``slot3[t, l]`` gives the unified slot for token t's l-th chain
+    layer; ``head[t]`` indexes the unified 1x1 head bank
+    [att.conv3 | relate.conv6] (-1 = no head).
+    """
+    nb = spec.bank_sizes
+    n_att, n_q, n_r, n_c = nb["attention"], nb["query"], nb["relate"], nb["compare"]
+    offsets = {
+        "att1": 0, "att2": n_att,
+        "q1": 2 * n_att, "q2": 2 * n_att + n_q,
+        "r1": 2 * n_att + 2 * n_q,
+    }
+    for i in range(2, 6):
+        offsets[f"r{i}"] = offsets["r1"] + (i - 1) * n_r
+    offsets["c1"] = offsets["r1"] + 5 * n_r
+    offsets["c2"] = offsets["c1"] + n_c
+
+    vocab = spec.token_kind.shape[0]
+    slot3 = np.zeros((vocab, 5), np.int32)
+    head = np.full(vocab, -1, np.int32)
+    for t in range(vocab):
+        k, s = int(spec.token_kind[t]), int(spec.token_bank[t])
+        if k == ATTENTION:
+            slot3[t, :2] = (offsets["att1"] + s, offsets["att2"] + s)
+            head[t] = s
+        elif k == QUERY:
+            slot3[t, :2] = (offsets["q1"] + s, offsets["q2"] + s)
+        elif k == RELATE:
+            slot3[t, :5] = [offsets[f"r{i}"] + s for i in range(1, 6)]
+            head[t] = n_att + s
+        elif k == COMPARE:
+            slot3[t, :2] = (offsets["c1"] + s, offsets["c2"] + s)
+    return slot3, head
+
+
+def _build_unified_banks(params: Dict[str, Any]):
+    r"""Stack class banks into the canonical unified layout (differentiable —
+    gradients scatter back into the per-class banks through the concatenate)."""
+    w3 = jnp.concatenate([
+        params["attention"]["conv1"]["w"], params["attention"]["conv2"]["w"],
+        params["query"]["conv1"]["w"], params["query"]["conv2"]["w"],
+        *[params["relate"][f"conv{i}"]["w"] for i in range(1, 6)],
+        params["compare"]["conv1"]["w"], params["compare"]["conv2"]["w"],
+    ])
+    b3 = jnp.concatenate([
+        params["attention"]["conv1"]["b"], params["attention"]["conv2"]["b"],
+        params["query"]["conv1"]["b"], params["query"]["conv2"]["b"],
+        *[params["relate"][f"conv{i}"]["b"] for i in range(1, 6)],
+        params["compare"]["conv1"]["b"], params["compare"]["conv2"]["b"],
+    ])
+    w1 = jnp.concatenate(
+        [params["attention"]["conv3"]["w"], params["relate"]["conv6"]["w"]]
+    )
+    b1 = jnp.concatenate(
+        [params["attention"]["conv3"]["b"], params["relate"]["conv6"]["b"]]
+    )
+    return {"w3": w3, "b3": b3, "w1": w1, "b1": b1}
+
+
 def execute_programs(
     params: Dict[str, Any], spec: NMNSpec, stem_feats: jax.Array, programs: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -278,6 +312,10 @@ def execute_programs(
     batch, h, w, c = stem_feats.shape
     kind_table = jnp.asarray(spec.token_kind)
     bank_table = jnp.asarray(spec.token_bank)
+    slot3_np, head_np = _unified_chain_tables(spec)
+    slot3_table = jnp.asarray(slot3_np)
+    head_table = jnp.asarray(head_np)
+    unified = _build_unified_banks(params)
 
     # Reversed prefix order (reference nmn.py:203): last token executes first.
     tokens_rev = jnp.flip(programs, axis=1).T  # (T, B)
@@ -294,20 +332,52 @@ def execute_programs(
         out, saved, out_tag, saved_tag, invalid = carry
         kind = kind_table[tok]
         bank = bank_table[tok]
+        slots = slot3_table[tok]            # (B, 5) unified 3x3 slots
+        head_slot = head_table[tok]         # (B,) unified head slot (-1 = none)
 
         att_in = stem_feats * out  # unary-module input (exact under broadcast storage)
         ones_attn = jnp.ones((batch, h, w, c), stem_feats.dtype)
+        is_relate = (kind == RELATE)[:, None, None, None]
+        is_cmp = (kind == COMPARE)[:, None, None, None]
+
+        # --- unified conv chain: one gathered conv serves every module class ---
+        # (the per-class chains share 3x3/128ch structure; relate adds layers
+        # 2-4 and its own dilation schedule — computed once, selected by kind,
+        # ~2x fewer gathered convs than evaluating every class separately)
+        cmp_in = jax.nn.relu(
+            gconv.gathered_conv1x1(
+                jnp.concatenate([out, saved], axis=-1),
+                params["compare"]["projection"], bank,
+            )
+        )
+        x0 = jnp.where(is_cmp, cmp_in, att_in)
+        l0 = jax.nn.relu(gconv.gathered_conv3x3(x0, {"w": unified["w3"], "b": unified["b3"]}, slots[:, 0]))
+        l1_d1 = jax.nn.relu(gconv.gathered_conv3x3(l0, {"w": unified["w3"], "b": unified["b3"]}, slots[:, 1], dilation=1))
+        l1_d2 = jax.nn.relu(gconv.gathered_conv3x3(l0, {"w": unified["w3"], "b": unified["b3"]}, slots[:, 1], dilation=2))
+        l1 = jnp.where(is_relate, l1_d2, l1_d1)
+        l2 = jax.nn.relu(gconv.gathered_conv3x3(l1, {"w": unified["w3"], "b": unified["b3"]}, slots[:, 2], dilation=4))
+        l3 = jax.nn.relu(gconv.gathered_conv3x3(l2, {"w": unified["w3"], "b": unified["b3"]}, slots[:, 3], dilation=8))
+        l4 = jax.nn.relu(gconv.gathered_conv3x3(l3, {"w": unified["w3"], "b": unified["b3"]}, slots[:, 4], dilation=1))
+        head_in = jnp.where(is_relate, l4, l1)
+        head_attn = jax.nn.sigmoid(
+            gconv.gathered_conv1x1(
+                head_in, {"w": unified["w1"], "b": unified["b1"]},
+                jnp.maximum(head_slot, 0),
+            )
+        )
+        attn_out = _bcast(head_attn, c)     # ATTENTION / RELATE result
+        feat_out = l1                       # QUERY / COMPARE result
 
         candidates = [
             out,                                                    # NOP
             ones_attn,                                              # SCENE -> fresh attention
             jnp.minimum(out, saved),                                # AND
             jnp.maximum(out, saved),                                # OR
-            _attention_chain(params["attention"], att_in, bank, c), # ATTENTION
-            _query_chain(params["query"], att_in, bank),            # QUERY
-            _relate_chain(params["relate"], att_in, bank, c),       # RELATE
+            attn_out,                                               # ATTENTION
+            feat_out,                                               # QUERY
+            attn_out,                                               # RELATE
             _same_chain(params["same"], stem_feats, out, bank, c),  # SAME
-            _compare_chain(params["compare"], out, saved, bank),    # COMPARE
+            feat_out,                                               # COMPARE
         ]
         kind_b = kind[:, None, None, None]
         new_out = candidates[0]
@@ -351,6 +421,12 @@ def execute_programs(
 
         return (new_out, new_saved, new_out_tag, new_saved_tag, new_invalid), None
 
+    # Rematerialize each interpreter step in the backward pass: without this,
+    # autodiff stashes the im2col patches and gathered per-example weights of
+    # every step (~19 GB at batch 128 x 26 steps — over HBM capacity). With
+    # remat the residuals are just the register carries; the step's convs are
+    # recomputed during the backward scan.
+    step = jax.checkpoint(step, prevent_cse=False)
     (out, _, out_tag, _, invalid), _ = jax.lax.scan(step, init, tokens_rev)
     # Program must end in an "encoding", not an "attention" (reference nmn.py:231-232).
     invalid |= out_tag != TAG_FEAT
