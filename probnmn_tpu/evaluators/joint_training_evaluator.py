@@ -13,7 +13,7 @@ import numpy as np
 
 from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import JointTrainingDataset
-from probnmn_tpu.data.pipeline import EpochIterator
+from probnmn_tpu.data.pipeline import EpochIterator, image_to_nhwc
 from probnmn_tpu.evaluators._evaluator import _Evaluator
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models.seq2seq import seq2seq_forward
@@ -50,8 +50,8 @@ class JointTrainingEvaluator(_Evaluator):
                 batch["question"], batch["program"], "greedy",
             )
             nmn_out = nmn_lib.nmn_forward(
-                params["nmn"], self._nmn_spec, batch["image"], pg_out["predictions"],
-                batch["answer"],
+                params["nmn"], self._nmn_spec, image_to_nhwc(batch["image"]),
+                pg_out["predictions"], batch["answer"],
             )
             return pg_out, nmn_out
 
@@ -63,7 +63,7 @@ class JointTrainingEvaluator(_Evaluator):
             )
             nmn_out = nmn_lib.fast_forward_from_tables(
                 banks, tables, self._nmn_spec, stem_p, cls_p,
-                batch["image"], pg_out["predictions"], batch["answer"],
+                image_to_nhwc(batch["image"]), pg_out["predictions"], batch["answer"],
             )
             return pg_out, nmn_out
 

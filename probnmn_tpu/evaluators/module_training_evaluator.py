@@ -14,7 +14,7 @@ import numpy as np
 
 from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import ModuleTrainingDataset
-from probnmn_tpu.data.pipeline import EpochIterator
+from probnmn_tpu.data.pipeline import EpochIterator, image_to_nhwc
 from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.evaluators._evaluator import _Evaluator
 from probnmn_tpu.models import nmn as nmn_lib
@@ -60,8 +60,8 @@ class ModuleTrainingEvaluator(_Evaluator):
                 pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
             )
             nmn_out = nmn_lib.nmn_forward(
-                nmn_params, self._nmn_spec, batch["image"], pg_out["predictions"],
-                batch["answer"],
+                nmn_params, self._nmn_spec, image_to_nhwc(batch["image"]),
+                pg_out["predictions"], batch["answer"],
             )
             return nmn_out
 
@@ -73,7 +73,7 @@ class ModuleTrainingEvaluator(_Evaluator):
             )
             return nmn_lib.fast_forward_from_tables(
                 banks, tables, self._nmn_spec, stem_p, cls_p,
-                batch["image"], pg_out["predictions"], batch["answer"],
+                image_to_nhwc(batch["image"]), pg_out["predictions"], batch["answer"],
             )
 
         self._fast_step = jax.jit(fast_step)

@@ -20,6 +20,7 @@ import optax
 from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import JointTrainingDataset
 from probnmn_tpu.data.pipeline import BatchIterator
+from probnmn_tpu.data.pipeline import image_to_nhwc
 from probnmn_tpu.data.samplers import SupervisionWeightedRandomSampler
 from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.models import nmn as nmn_lib
@@ -131,7 +132,7 @@ class JointTrainingTrainer(_Trainer):
                     z, batch["question"], "sampling", keys[1], train=True,
                 )
                 nmn_out = nmn_lib.nmn_forward(
-                    p["nmn"], nmn_spec, batch["image"], z, batch["answer"]
+                    p["nmn"], nmn_spec, image_to_nhwc(batch["image"]), z, batch["answer"]
                 )
                 nmn_loss = masked_mean(nmn_out["loss"], unsup)
 

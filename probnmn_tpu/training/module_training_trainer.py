@@ -13,6 +13,7 @@ import optax
 from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import ModuleTrainingDataset
 from probnmn_tpu.data.pipeline import BatchIterator
+from probnmn_tpu.data.pipeline import image_to_nhwc
 from probnmn_tpu.data.samplers import RandomSampler
 from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.models import nmn as nmn_lib
@@ -72,9 +73,11 @@ class ModuleTrainingTrainer(_Trainer):
             )
             programs = jax.lax.stop_gradient(pg_out["predictions"])
 
+            image = image_to_nhwc(batch["image"])
+
             def loss_fn(p):
                 out = nmn_lib.nmn_forward(
-                    p["nmn"], nmn_spec, batch["image"], programs, batch["answer"]
+                    p["nmn"], nmn_spec, image, programs, batch["answer"]
                 )
                 return out["loss"].mean(), out["metrics"]
 

@@ -19,7 +19,7 @@ from tqdm import tqdm
 
 from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import JointTrainingDataset
-from probnmn_tpu.data.pipeline import EpochIterator
+from probnmn_tpu.data.pipeline import EpochIterator, image_to_nhwc
 from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models import program_generator
@@ -66,7 +66,7 @@ def main(args):
     @jax.jit
     def infer_step(pg_p, questions, images, rng):
         pg_out = seq2seq_forward(pg_p, pg_spec, questions, None, "sampling", rng)
-        nmn_out = nmn_fast(images, pg_out["predictions"])
+        nmn_out = nmn_fast(image_to_nhwc(images), pg_out["predictions"])
         return nmn_out["predictions"]
 
     rng = jax.random.PRNGKey(config.RANDOM_SEED)
