@@ -15,8 +15,6 @@ step (`image_to_nhwc`) where it fuses for free — a host-side transpose of
 """
 from __future__ import annotations
 
-import threading
-from queue import Queue
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
@@ -30,12 +28,6 @@ def image_to_nhwc(image):
     return jnp.transpose(image, (0, 2, 3, 1))
 
 
-def nchw_to_nhwc(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    r"""Identity passthrough kept for API compatibility: images stay NCHW on host;
-    consumers transpose on device via :func:`image_to_nhwc`."""
-    return batch
-
-
 class BatchIterator:
     r"""Cyclic iterator of fixed-size batches: sampler epochs are concatenated and the
     remainder at an epoch boundary is dropped forward (batches never straddle a
@@ -46,7 +38,7 @@ class BatchIterator:
         dataset,
         sampler,
         batch_size: int,
-        transform: Optional[Callable] = nchw_to_nhwc,
+        transform: Optional[Callable] = None,
         device_put: bool = True,
         prefetch: int = 2,
     ):
@@ -90,7 +82,7 @@ class EpochIterator:
     r"""Single-pass (evaluation) iterator; drops the final partial batch to keep
     static shapes, mirroring the reference evaluator's fixed ``num_batches`` loop."""
 
-    def __init__(self, dataset, batch_size: int, transform=nchw_to_nhwc, device_put=True):
+    def __init__(self, dataset, batch_size: int, transform=None, device_put=True):
         self._dataset = dataset
         self._batch_size = batch_size
         self._transform = transform

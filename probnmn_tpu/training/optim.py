@@ -47,28 +47,31 @@ class ReduceLROnPlateau:
     (rel threshold, no cooldown): shrink lr by ``factor`` after ``patience``
     consecutive non-improving observations."""
 
-    def __init__(self, lr_initial: float, factor: float, patience: int, threshold: float = 1e-3):
+    def __init__(self, lr_initial: float, factor: float, patience: int, threshold: float = 1e-3,
+                 eps: float = 1e-8):
         self.lr = lr_initial
         self.factor = factor
         self.patience = patience
         self.threshold = threshold
+        self.eps = eps  # torch: skip the update when old_lr - new_lr <= eps
         self.best = -float("inf")
         self.num_bad = 0
 
     def step(self, metric: float) -> float:
-        if self.best == -float("inf"):
-            is_better = True
-        elif self.best >= 0:
-            is_better = metric > self.best * (1.0 + self.threshold)
-        else:
-            is_better = metric > self.best * (1.0 - self.threshold)
+        # torch's is_better for mode="max", threshold_mode="rel" is unconditionally
+        # `a > best * (threshold + 1.)` — including for negative `best`, where the
+        # rel margin flips direction. Replicated exactly (torch
+        # lr_scheduler.ReduceLROnPlateau.is_better).
+        is_better = metric > self.best * (1.0 + self.threshold)
         if is_better:
             self.best = metric
             self.num_bad = 0
         else:
             self.num_bad += 1
             if self.num_bad > self.patience:
-                self.lr *= self.factor
+                new_lr = self.lr * self.factor
+                if self.lr - new_lr > self.eps:
+                    self.lr = new_lr
                 self.num_bad = 0
         return self.lr
 
