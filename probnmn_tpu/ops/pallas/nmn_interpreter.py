@@ -32,10 +32,13 @@ This kernel executes each example's program *exactly*:
 
 Semantics are identical to ``models/nmn.py::execute_programs`` (same tag machine,
 same invalid rules); equivalence is tested in interpret mode and on device.
-This is the inference path; training uses the differentiable XLA machine.
+Training runs the same forward kernel under a ``jax.custom_vjp`` whose backward
+pass is a second Pallas kernel (replay-and-reverse, see
+``_interpreter_bwd_kernel``) — gradients match the XLA machine's.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -63,51 +66,23 @@ MAX_CHAIN = 5  # relate has 5 3x3 convs; attention/query/compare use 2
 
 
 # ------------------------------------------------------------------ host tables -------
-def build_kernel_tables(params: Dict[str, Any], spec: NMNSpec, dtype=jnp.bfloat16):
-    r"""Flatten per-class banks into unified kernel banks + per-token chain tables.
+def build_tables(spec: NMNSpec) -> Dict[str, jax.Array]:
+    r"""Static per-token dispatch tables for the unified kernel bank layout.
 
-    Banks: ``w3`` (S3, 9, C, C) unified 3x3 weights in HBM (kernel-position
-    major); all biases as (S, 8, 128) VMEM-resident planes with data in row 0;
-    ``w1`` (S1, C, 8) unified 1x1 heads (out-dim padded 1->8) incl. the same-
-    module conv with its attention-channel weight split out (``same_wa``).
+    Slot order in the unified 3x3 bank (must match :func:`build_banks`):
+    attention slots interleaved [conv1 s, conv2 s], then query [conv1 s,
+    conv2 s], then relate [conv1..conv5 per slot], then compare [conv1 s,
+    conv2 s]. The 1x1 head bank is [attention conv3 per slot | relate conv6
+    per slot].
     """
-    C = spec.module_channels
     kind = np.asarray(spec.token_kind)
     bank = np.asarray(spec.token_bank)
     vocab = kind.shape[0]
-
-    w3_list, b3_list = [], []
-    w1_list, b1_list = [], []
-    same_w_list, same_b_list = [], []
-
-    def push3(w, b):
-        w3_list.append(np.asarray(w))
-        b3_list.append(np.asarray(b))
-        return len(w3_list) - 1
-
-    def push1(w, b):
-        w1_list.append(np.asarray(w))
-        b1_list.append(np.asarray(b))
-        return len(w1_list) - 1
-
-    p = jax.device_get(params)
-    att = {s: [push3(p["attention"]["conv1"]["w"][s], p["attention"]["conv1"]["b"][s]),
-               push3(p["attention"]["conv2"]["w"][s], p["attention"]["conv2"]["b"][s]),
-               push1(p["attention"]["conv3"]["w"][s], p["attention"]["conv3"]["b"][s])]
-           for s in range(p["attention"]["conv1"]["w"].shape[0])}
-    qry = {s: [push3(p["query"]["conv1"]["w"][s], p["query"]["conv1"]["b"][s]),
-               push3(p["query"]["conv2"]["w"][s], p["query"]["conv2"]["b"][s])]
-           for s in range(p["query"]["conv1"]["w"].shape[0])}
-    rel = {s: [push3(p["relate"][f"conv{i}"]["w"][s], p["relate"][f"conv{i}"]["b"][s])
-               for i in range(1, 6)]
-           + [push1(p["relate"]["conv6"]["w"][s], p["relate"]["conv6"]["b"][s])]
-           for s in range(p["relate"]["conv1"]["w"].shape[0])}
-    cmp_ = {s: [push3(p["compare"]["conv1"]["w"][s], p["compare"]["conv1"]["b"][s]),
-                push3(p["compare"]["conv2"]["w"][s], p["compare"]["conv2"]["b"][s])]
-            for s in range(p["compare"]["conv1"]["w"].shape[0])}
-    for s in range(p["same"]["conv"]["w"].shape[0]):
-        same_w_list.append(np.asarray(p["same"]["conv"]["w"][s]))  # (C+1, 1)
-        same_b_list.append(np.asarray(p["same"]["conv"]["b"][s]))
+    nb = spec.bank_sizes
+    na, nq, nr = nb["attention"], nb["query"], nb["relate"]
+    q_base = 2 * na
+    r_base = q_base + 2 * nq
+    c_base = r_base + 5 * nr
 
     chain_len = np.zeros(vocab, np.int32)
     slot3 = np.zeros((vocab, MAX_CHAIN), np.int32)
@@ -118,56 +93,23 @@ def build_kernel_tables(params: Dict[str, Any], spec: NMNSpec, dtype=jnp.bfloat1
         k, s = int(kind[t]), int(bank[t])
         if k == ATTENTION:
             chain_len[t] = 2
-            slot3[t, :2] = att[s][:2]
-            head_slot[t] = att[s][2]
+            slot3[t, :2] = (2 * s, 2 * s + 1)
+            head_slot[t] = s
         elif k == QUERY:
             chain_len[t] = 2
-            slot3[t, :2] = qry[s]
+            slot3[t, :2] = (q_base + 2 * s, q_base + 2 * s + 1)
         elif k == RELATE:
             chain_len[t] = 5
-            slot3[t, :5] = rel[s][:5]
-            head_slot[t] = rel[s][5]
+            slot3[t, :5] = [r_base + 5 * s + l for l in range(5)]
+            head_slot[t] = na + s
         elif k == COMPARE:
             chain_len[t] = 2
-            slot3[t, :2] = cmp_[s]
+            slot3[t, :2] = (c_base + 2 * s, c_base + 2 * s + 1)
             cmp_slot[t] = s
         elif k == SAME:
             same_slot[t] = s
 
-    def bias_plane(bias_rows, width):
-        r"""(S, width) biases -> (S, 8, 128) VMEM plane with data in row 0."""
-        n = max(len(bias_rows), 1)
-        plane = np.zeros((n, 8, 128), np.float32)
-        for i, row in enumerate(bias_rows):
-            plane[i, 0, : len(row)] = row
-        return plane
-
-    # (S, 9*C, C): row k*C + c_in multiplies patch column k*C + c_in (k-major
-    # im2col layout, one big MXU matmul per conv instead of 9 small ones).
-    w3 = np.stack([w.reshape(9 * C, C) for w in w3_list]) \
-        if w3_list else np.zeros((1, 9 * C, C), np.float32)
-    w1 = np.stack([np.pad(w, ((0, 0), (0, 7))) for w in w1_list]) \
-        if w1_list else np.zeros((1, C, 8), np.float32)
-    same_wf = np.stack([np.pad(w[:C], ((0, 0), (0, 7))) for w in same_w_list]) \
-        if same_w_list else np.zeros((1, C, 8), np.float32)
-    same_wa = np.stack([w[C] for w in same_w_list]) \
-        if same_w_list else np.zeros((1, 1), np.float32)
-    wcmp = np.asarray(p["compare"]["projection"]["w"])  # (Scmp, 2C, C)
-
-    banks = {
-        "w3": jnp.asarray(w3, dtype),
-        "b3": jnp.asarray(bias_plane(b3_list, C), dtype),
-        "w1": jnp.asarray(w1, dtype),
-        "b1": jnp.asarray(bias_plane([np.pad(b, (0, 7)) for b in b1_list], 8), dtype),
-        "same_wf": jnp.asarray(same_wf, dtype),
-        "same_wa": jnp.asarray(same_wa, jnp.float32),  # SMEM scalars
-        "same_b": jnp.asarray(
-            bias_plane([np.pad(b, (0, 7)) for b in same_b_list], 8), dtype
-        ),
-        "wcmp": jnp.asarray(wcmp, dtype),
-        "bcmp": jnp.asarray(bias_plane(list(p["compare"]["projection"]["b"]), C), dtype),
-    }
-    tables = {
+    return {
         "kind": jnp.asarray(kind, jnp.int32),
         "chain_len": jnp.asarray(chain_len, jnp.int32),
         "slot3": jnp.asarray(slot3, jnp.int32),
@@ -175,7 +117,73 @@ def build_kernel_tables(params: Dict[str, Any], spec: NMNSpec, dtype=jnp.bfloat1
         "cmp_slot": jnp.asarray(cmp_slot, jnp.int32),
         "same_slot": jnp.asarray(same_slot, jnp.int32),
     }
-    return banks, tables
+
+
+def build_banks(params: Dict[str, Any], spec: NMNSpec, dtype=jnp.bfloat16):
+    r"""Flatten per-class parameter banks into the unified kernel banks.
+
+    Banks: ``w3`` (S3, 9C, C) unified 3x3 weights in k-major im2col row layout
+    (row k*C + c_in multiplies patch column k*C + c_in — one big MXU matmul per
+    conv instead of 9 small ones); all biases as (S, 8, 128) VMEM-resident
+    planes with data in row 0; ``w1`` (S1, C, 8) unified 1x1 heads (out-dim
+    padded 1->8) incl. the same-module conv with its attention-channel weight
+    split out as SMEM scalars (``same_wa``).
+
+    Pure jnp (traceable + differentiable): under ``jax.grad`` the cotangents
+    scatter back through the stacking into the per-class banks, which is what
+    lets the Pallas interpreter train.
+    """
+    C = spec.module_channels
+    p = params
+
+    def interleave3(convs):
+        r"""Per-slot interleave of 3x3 banks: [conv_a s, conv_b s, ...] rows."""
+        w = jnp.stack([c["w"] for c in convs], axis=1)  # (n, L, 3, 3, C, C)
+        n, L = w.shape[:2]
+        w = w.reshape(n * L, 9 * C, C)  # (ky, kx, c_in)-major rows
+        b = jnp.stack([c["b"] for c in convs], axis=1).reshape(n * L, C)
+        return w, b
+
+    def bias_plane(rows):
+        r"""(S, width<=128) biases -> (S, 8, 128) plane with data in row 0."""
+        n, width = rows.shape
+        plane = jnp.zeros((n, 8, 128), jnp.float32)
+        return plane.at[:, 0, :width].set(rows.astype(jnp.float32))
+
+    att_w, att_b = interleave3([p["attention"]["conv1"], p["attention"]["conv2"]])
+    qry_w, qry_b = interleave3([p["query"]["conv1"], p["query"]["conv2"]])
+    rel_w, rel_b = interleave3([p["relate"][f"conv{i}"] for i in range(1, 6)])
+    cmp_w, cmp_b = interleave3([p["compare"]["conv1"], p["compare"]["conv2"]])
+    w3 = jnp.concatenate([att_w, qry_w, rel_w, cmp_w])
+    b3 = jnp.concatenate([att_b, qry_b, rel_b, cmp_b])
+
+    # 1x1 heads: (n, C, 1) -> (n, C, 8) lane-padded; biases (n, 1) -> width 8.
+    w1 = jnp.concatenate([p["attention"]["conv3"]["w"], p["relate"]["conv6"]["w"]])
+    w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, 7)))
+    b1 = jnp.concatenate([p["attention"]["conv3"]["b"], p["relate"]["conv6"]["b"]])
+    b1 = jnp.pad(b1, ((0, 0), (0, 7)))
+
+    same_w = p["same"]["conv"]["w"]  # (ns, C+1, 1)
+    same_wf = jnp.pad(same_w[:, :C, :], ((0, 0), (0, 0), (0, 7)))
+    same_wa = same_w[:, C, :].astype(jnp.float32)  # (ns, 1) SMEM scalars
+    same_b = jnp.pad(p["same"]["conv"]["b"], ((0, 0), (0, 7)))
+
+    return {
+        "w3": w3.astype(dtype),
+        "b3": bias_plane(b3).astype(dtype),
+        "w1": w1.astype(dtype),
+        "b1": bias_plane(b1).astype(dtype),
+        "same_wf": same_wf.astype(dtype),
+        "same_wa": same_wa,
+        "same_b": bias_plane(same_b).astype(dtype),
+        "wcmp": p["compare"]["projection"]["w"].astype(dtype),  # (Sc, 2C, C)
+        "bcmp": bias_plane(p["compare"]["projection"]["b"]).astype(dtype),
+    }
+
+
+def build_kernel_tables(params: Dict[str, Any], spec: NMNSpec, dtype=jnp.bfloat16):
+    r"""(banks, tables) for the kernel — see :func:`build_banks` / :func:`build_tables`."""
+    return build_banks(params, spec, dtype), build_tables(spec)
 
 
 # ------------------------------------------------------------------ kernel ------------
@@ -430,7 +438,7 @@ def execute_programs_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # w3 (large; stays in HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # w3 (large; stays in HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
@@ -474,3 +482,637 @@ def execute_programs_pallas(
         banks["wcmp"], banks["bcmp"],
     )
     return out, invalid[:, 0, 0].astype(bool)
+
+
+# ------------------------------------------------------------------ backward ----------
+def _interpreter_bwd_kernel(
+    # scalar prefetch
+    tokens_ref,      # (B, T) int32, reversed (execution order)
+    kind_ref,        # (V,)
+    slot3_ref,       # (V, MAX_CHAIN)
+    head_slot_ref,   # (V,)
+    cmp_slot_ref,    # (V,)
+    same_slot_ref,   # (V,)
+    invalid_flags,   # (B,) int32 — forward invalid flags (invalid => zero grads)
+    # tensor inputs
+    x_ref,           # (1, H, W, C) stem features block (VMEM)
+    gfin_ref,        # (1, H, W, C) f32 cotangent of the final encoding
+    w3_ref,          # (S3, 9C, C) HBM
+    b3_ref,          # (S3, 8, 128) VMEM
+    w1_ref,          # (S1, C, 8) VMEM
+    b1_ref,          # (S1, 8, 128) VMEM
+    same_wf_ref,     # (Ss, C, 8) VMEM
+    same_wa_ref,     # (Ss, 1) SMEM f32
+    same_b_ref,      # (Ss, 8, 128) VMEM
+    wcmp_ref,        # (Sc, 2C, C) VMEM
+    bcmp_ref,        # (Sc, 8, 128) VMEM
+    # outputs
+    dx_ref,          # (1, H, W, C) f32 per-example stem gradient
+    dw3_ref,         # (S3, 9C, C) f32 HBM, accumulated via DMA read-modify-write
+    db3_ref,         # (S3, 8, 128) f32 (row 0 = bias grads)
+    dw1_ref,         # (S1, C, 128) f32 (col 0 meaningful; sliced to 8 outside)
+    db1_ref,         # (S1, 8, 128) f32
+    dwf_ref,         # (Ss, C, 128) f32
+    dwa_ref,         # (Ss, 8, 128) f32 (scalar at [s, 0, 0])
+    dsb_ref,         # (Ss, 8, 128) f32
+    dwc_ref,         # (Sc, 2C, C) f32
+    dbc_ref,         # (Sc, 8, 128) f32
+    # scratch
+    reg_out,         # (HW, C) dtype — replay registers
+    reg_saved,       # (HW, C) dtype
+    out_traj,        # (T, HW, C) dtype — out-register values at entry of each step
+    lscene_ref,      # (T,) SMEM int32 — index of the last scene step before t
+                     # (-1 = none). The saved register only changes at scene
+                     # steps (saved' = out entry of that step), so its per-step
+                     # value is out_traj[lscene[t]] — storing the full saved
+                     # trajectory would double the VMEM footprint past budget.
+    acts,            # (MAX_CHAIN + 1, HW, C) f32 — chain activations (recomputed)
+    g_out,           # (HW, C) f32 — gradient wrt the out register
+    g_saved,         # (HW, C) f32
+    dx_acc,          # (HW, C) f32 — gradient wrt stem features (this example)
+    pad_buf,         # (H + 16, W + 16, C) dtype — im2col staging
+    gpad,            # (H + 16, W + 16, C) f32 — col2im accumulation
+    patches,         # (HW, 9C) dtype — im2col AND (reused) grad patches
+    w3_buf,          # (2, 9C, C) dtype — weight double buffer
+    dw3_acc,         # (9C, C) f32 — RMW staging for dw3
+    sems,            # DMA semaphores (4,): 0/1 = w3 double buffer, 2 = dw3 r, 3 = dw3 w
+):
+    r"""Backward pass of the fused interpreter: replay-and-reverse per example.
+
+    Phase 1 (replay) re-executes the program, storing the ``out``/``saved``
+    register values at the entry of every step in VMEM — no tag machine needed:
+    per-step actions on a *valid* example are fully determined by the token
+    kind (any failed predicate would have marked the example invalid, and
+    invalid examples receive zero gradient because the forward zeroes their
+    output). Phase 2 sweeps the steps in reverse, recomputing each heavy
+    step's conv-chain activations from the stored registers (VMEM-resident
+    rematerialization) and backpropagating: conv backward = one MXU matmul
+    for the weight grad (patches^T @ g) + one for the input grad (g @ W^T)
+    + a col2im scatter of shifted windows. The unified 3x3 weight-grad bank
+    stays in HBM and is accumulated by sequential-grid DMA read-modify-write;
+    all small bank grads accumulate in VMEM outputs with constant index maps.
+    """
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    T = tokens_ref.shape[1]
+    H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    HW = H * W
+    dtype = x_ref.dtype
+    S3 = dw3_ref.shape[0]
+    f32 = jnp.float32
+
+    x = x_ref[0].reshape(HW, C)
+
+    # --- zero the accumulated outputs on the first grid step ------------------
+    @pl.when(b == 0)
+    def _():
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dwa_ref[...] = jnp.zeros_like(dwa_ref)
+        dsb_ref[...] = jnp.zeros_like(dsb_ref)
+        dwc_ref[...] = jnp.zeros_like(dwc_ref)
+        dbc_ref[...] = jnp.zeros_like(dbc_ref)
+        dw3_acc[...] = jnp.zeros_like(dw3_acc)
+        for s in range(S3):  # static loop: DMA-zero the HBM grad bank
+            cp = pltpu.make_async_copy(dw3_acc, dw3_ref.at[s], sems.at[3])
+            cp.start()
+            cp.wait()
+
+    # --- shared helpers --------------------------------------------------------
+    def start_w3(slot, buf):
+        pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).start()
+
+    def wait_w3(slot, buf):
+        pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
+
+    def fill_patches(inp, dilation: int):
+        r"""im2col of ``inp`` (HW, C) dtype into the ``patches`` scratch."""
+        d = dilation
+        pad_buf[8:8 + H, 8:8 + W, :] = inp.reshape(H, W, C)
+        for ky in range(3):
+            for kx in range(3):
+                oy = 8 + (ky - 1) * d
+                ox = 8 + (kx - 1) * d
+                k = ky * 3 + kx
+                patches[:, k * C:(k + 1) * C] = (
+                    pad_buf[oy:oy + H, ox:ox + W, :].reshape(HW, C)
+                )
+
+    def conv_from_patches(buf, bias_slot):
+        total = jnp.dot(
+            patches[...], w3_buf[buf], preferred_element_type=f32
+        )
+        return total + b3_ref[bias_slot][0:1, :C].astype(f32)
+
+    lanes128 = jax.lax.broadcasted_iota(jnp.int32, (HW, 128), 1)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lanes8_128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lanesC = jax.lax.broadcasted_iota(jnp.int32, (HW, C), 1)
+
+    def row0_plane(vec128):
+        r"""(128,) -> (8, 128) plane with the vector in row 0."""
+        return jnp.where(rows8 == 0, vec128[None, :], 0.0)
+
+    def head_recompute(a_last, hs):
+        head = jnp.dot(
+            a_last.astype(dtype), w1_ref[hs], preferred_element_type=f32
+        ) + b1_ref[hs][0:1, :8].astype(f32)
+        return jax.nn.sigmoid(head[:, :1])  # (HW, 1)
+
+    def head_bwd(a_last, hs, attn, g_o):
+        r"""Backward through broadcast(sigmoid(head col 0)); returns g wrt a_last."""
+        g_attn = jnp.sum(g_o, axis=1, keepdims=True)  # (HW, 1)
+        g_h0 = g_attn * attn * (1.0 - attn)           # (HW, 1) f32
+        g128 = jnp.where(lanes128 == 0, g_h0, 0.0)    # (HW, 128), col 0 = g_h0
+        dw1_ref[hs] = dw1_ref[hs] + jax.lax.dot_general(
+            a_last.astype(dtype), g128.astype(dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        db1_ref[hs] = db1_ref[hs] + row0_plane(jnp.sum(g128, axis=0))
+        g8 = g128[:, :8]
+        return jax.lax.dot_general(  # g_h @ w1^T -> (HW, C)
+            g8.astype(dtype), w1_ref[hs],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+
+    def conv_layer_bwd(g_a, slot, dilation: int, inp, outp):
+        r"""Backward of relu(conv3x3(inp)): accumulates dw3 (HBM RMW) + db3,
+        returns g wrt inp. inp/outp are the stored f32 activations."""
+        g_z = g_a * (outp > 0.0)
+        colsum = jnp.sum(g_z, axis=0)  # (C,)
+        db3_ref[slot] = db3_ref[slot] + row0_plane(
+            jnp.pad(colsum, (0, 128 - C))
+        )
+        fill_patches(inp.astype(dtype), dilation)
+        # dw3[slot] += patches^T @ g_z  (HBM read-modify-write)
+        rd = pltpu.make_async_copy(dw3_ref.at[slot], dw3_acc, sems.at[2])
+        rd.start()
+        rd.wait()
+        dw3_acc[...] = dw3_acc[...] + jax.lax.dot_general(
+            patches[...], g_z.astype(dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        wr = pltpu.make_async_copy(dw3_acc, dw3_ref.at[slot], sems.at[3])
+        wr.start()
+        wr.wait()
+        # g_patches = g_z @ W^T, then col2im (reverse of the shifted windows).
+        # Overwrites the patches buffer — its forward contents are dead here,
+        # and a separate f32 grad-patches scratch would blow the VMEM budget.
+        start_w3(slot, 0)
+        wait_w3(slot, 0)
+        patches[...] = jax.lax.dot_general(
+            g_z.astype(dtype), w3_buf[0],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        ).astype(dtype)
+        gpad[...] = jnp.zeros_like(gpad)
+        d = dilation
+        for ky in range(3):
+            for kx in range(3):
+                oy = 8 + (ky - 1) * d
+                ox = 8 + (kx - 1) * d
+                k = ky * 3 + kx
+                gpad[oy:oy + H, ox:ox + W, :] = (
+                    gpad[oy:oy + H, ox:ox + W, :]
+                    + patches[:, k * C:(k + 1) * C].reshape(H, W, C).astype(f32)
+                )
+        return gpad[8:8 + H, 8:8 + W, :].reshape(HW, C)
+
+    def chain_bwd(tok, dils, with_input_mul: bool):
+        r"""Recompute a conv chain from the stored entry register, then backprop.
+        Returns g wrt the chain input acts[0]. g_out holds g wrt the chain
+        output on entry (query/compare) or is consumed by the caller (heads)."""
+        L = len(dils)
+        for l in range(L):
+            cur, nxt = l % 2, (l + 1) % 2
+            if l == 0:
+                start_w3(slot3_ref[tok, 0], 0)
+            if l + 1 < L:
+                start_w3(slot3_ref[tok, l + 1], nxt)
+            wait_w3(slot3_ref[tok, l], cur)
+            fill_patches(acts[l].astype(dtype), dils[l])
+            z = conv_from_patches(cur, slot3_ref[tok, l])
+            acts[l + 1] = jnp.maximum(z, 0.0)
+        return L
+
+    # --- per-example body -------------------------------------------------------
+    dx_acc[...] = jnp.zeros_like(dx_acc)
+    g_out[...] = jnp.zeros_like(g_out)
+    g_saved[...] = jnp.zeros_like(g_saved)
+    pad_buf[...] = jnp.zeros_like(pad_buf)
+
+    @pl.when(invalid_flags[b] == 0)
+    def _():
+        # ================= phase 1: replay, storing the register trajectory ===
+        reg_out[...] = x
+        reg_saved[...] = jnp.zeros_like(reg_saved)
+
+        def replay_step(t, last_scene):
+            tok = tokens_ref[b, t]
+            kind = kind_ref[tok]
+            out_traj[t] = reg_out[...]
+            lscene_ref[t] = last_scene
+
+            is_chain = (kind == ATTENTION) | (kind == QUERY) | (kind == RELATE)
+            is_cmp = kind == COMPARE
+            is_same = kind == SAME
+            is_scene = kind == SCENE
+            is_binop = (kind == AND) | (kind == OR)
+            has_head = head_slot_ref[tok] >= 0
+
+            old_out = reg_out[...]
+            old_saved = reg_saved[...]
+            minmax = jnp.where(
+                kind == AND, jnp.minimum(old_out, old_saved),
+                jnp.maximum(old_out, old_saved),
+            )
+            reg_out[...] = jnp.where(
+                is_scene, jnp.ones_like(old_out),
+                jnp.where(is_binop, minmax, old_out),
+            )
+            reg_saved[...] = jnp.where(is_scene, old_out, old_saved)
+
+            @pl.when(is_chain | is_cmp | is_same)
+            def _():
+
+                @pl.when(is_chain & (kind == RELATE))
+                def _():
+                    acts[0] = (x * old_out).astype(f32)
+                    chain_bwd(tok, (1, 2, 4, 8, 1), True)
+                    hs = head_slot_ref[tok]
+                    attn = head_recompute(acts[5], hs)
+                    reg_out[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
+
+                @pl.when(is_chain & (kind != RELATE))
+                def _():
+                    acts[0] = (x * old_out).astype(f32)
+                    chain_bwd(tok, (1, 1), True)
+
+                    @pl.when(has_head)
+                    def _():
+                        hs = head_slot_ref[tok]
+                        attn = head_recompute(acts[2], hs)
+                        reg_out[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
+
+                    @pl.when(jnp.logical_not(has_head))
+                    def _():
+                        reg_out[...] = acts[2].astype(dtype)
+
+                @pl.when(is_cmp)
+                def _():
+                    cs = cmp_slot_ref[tok]
+                    wc = wcmp_ref[cs]
+                    proj = (
+                        jnp.dot(old_out, wc[:C], preferred_element_type=f32)
+                        + jnp.dot(old_saved, wc[C:], preferred_element_type=f32)
+                        + bcmp_ref[cs][0:1, :C].astype(f32)
+                    )
+                    acts[0] = jnp.maximum(proj, 0.0)
+                    chain_bwd(tok, (1, 1), False)
+                    reg_out[...] = acts[2].astype(dtype)
+
+                @pl.when(is_same)
+                def _():
+                    ss = same_slot_ref[tok]
+                    attn_col = old_out[:, :1]
+                    am = jnp.argmax(attn_col[:, 0].astype(f32), axis=0)
+                    onehot = (
+                        jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0] == am
+                    ).astype(dtype)
+                    vec = jnp.sum(x * onehot[:, None], axis=0, keepdims=True)
+                    xsel = x * vec
+                    head = jnp.dot(
+                        xsel, same_wf_ref[ss], preferred_element_type=f32
+                    )
+                    head = head + attn_col.astype(f32) * same_wa_ref[ss, 0]
+                    head = head + same_b_ref[ss][0:1, :8].astype(f32)
+                    attn = jax.nn.sigmoid(head[:, :1])
+                    reg_out[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
+
+            return jnp.where(kind == SCENE, t, last_scene)
+
+        jax.lax.fori_loop(0, T, replay_step, jnp.int32(-1), unroll=False)
+
+        # NOTE: replay_step's chain recomputation overwrote ``acts`` — that is
+        # fine: replay only needs the final activation per step, and the
+        # backward sweep recomputes the chain again from the stored registers.
+
+        # ================= phase 2: reverse sweep ==============================
+        g_out[...] = gfin_ref[0].reshape(HW, C)
+        g_saved[...] = jnp.zeros_like(g_saved)
+
+        def bwd_step(i, _):
+            t = T - 1 - i
+            tok = tokens_ref[b, t]
+            kind = kind_ref[tok]
+            out_in = out_traj[t]
+            ls = lscene_ref[t]
+            saved_src = out_traj[jnp.maximum(ls, 0)]
+            saved_in = jnp.where(ls >= 0, saved_src, jnp.zeros_like(saved_src))
+
+            is_chain = (kind == ATTENTION) | (kind == QUERY) | (kind == RELATE)
+            is_cmp = kind == COMPARE
+            is_same = kind == SAME
+            is_scene = kind == SCENE
+            is_binop = (kind == AND) | (kind == OR)
+            has_head = head_slot_ref[tok] >= 0
+
+            # ---- cheap register ops: scene / and / or (unpredicated selects) --
+            go = g_out[...]
+            gs = g_saved[...]
+            a = out_in.astype(f32)
+            c = saved_in.astype(f32)
+            # min/max subgradient with 0.5/0.5 tie splitting (== jnp.minimum /
+            # torch). Select between f32 masks — Mosaic cannot select between
+            # i1 vectors.
+            picked_out = jnp.where(
+                kind == AND,
+                jnp.where(a < c, 1.0, 0.0),
+                jnp.where(a > c, 1.0, 0.0),
+            )
+            w_out = picked_out + jnp.where(a == c, 0.5, 0.0)
+            g_out[...] = jnp.where(
+                is_scene, gs, jnp.where(is_binop, go * w_out, go)
+            )
+            g_saved[...] = jnp.where(
+                is_scene, jnp.zeros_like(gs),
+                jnp.where(is_binop, go * (1.0 - w_out) + gs, gs),
+            )
+
+            # ---- heavy module backward: ONE outer conditional region ----------
+            @pl.when(is_chain | is_cmp | is_same)
+            def _():
+
+                @pl.when(is_chain & (kind == RELATE))
+                def _():
+                    acts[0] = (x * out_in).astype(f32)
+                    chain_bwd(tok, (1, 2, 4, 8, 1), True)
+                    hs = head_slot_ref[tok]
+                    attn = head_recompute(acts[5], hs)
+                    g_a = head_bwd(acts[5], hs, attn, go)
+                    for l, dil in ((4, 1), (3, 8), (2, 4), (1, 2), (0, 1)):
+                        g_a = conv_layer_bwd(
+                            g_a, slot3_ref[tok, l], dil, acts[l], acts[l + 1]
+                        )
+                    dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
+                    g_out[...] = g_a * x.astype(f32)
+
+                @pl.when(is_chain & (kind != RELATE))
+                def _():
+                    acts[0] = (x * out_in).astype(f32)
+                    chain_bwd(tok, (1, 1), True)
+
+                    @pl.when(has_head)
+                    def _():
+                        hs = head_slot_ref[tok]
+                        attn = head_recompute(acts[2], hs)
+                        g_a = head_bwd(acts[2], hs, attn, go)
+                        for l in (1, 0):
+                            g_a = conv_layer_bwd(
+                                g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1]
+                            )
+                        dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
+                        g_out[...] = g_a * x.astype(f32)
+
+                    @pl.when(jnp.logical_not(has_head))
+                    def _():
+                        g_a = go
+                        for l in (1, 0):
+                            g_a = conv_layer_bwd(
+                                g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1]
+                            )
+                        dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
+                        g_out[...] = g_a * x.astype(f32)
+
+                @pl.when(is_cmp)
+                def _():
+                    cs = cmp_slot_ref[tok]
+                    wc = wcmp_ref[cs]
+                    proj = (
+                        jnp.dot(out_in, wc[:C], preferred_element_type=f32)
+                        + jnp.dot(saved_in, wc[C:], preferred_element_type=f32)
+                        + bcmp_ref[cs][0:1, :C].astype(f32)
+                    )
+                    acts[0] = jnp.maximum(proj, 0.0)
+                    chain_bwd(tok, (1, 1), False)
+                    g_a = go
+                    for l in (1, 0):
+                        g_a = conv_layer_bwd(
+                            g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1]
+                        )
+                    g_pre = g_a * (acts[0] > 0.0)
+                    colsum = jnp.sum(g_pre, axis=0)
+                    dbc_ref[cs] = dbc_ref[cs] + row0_plane(
+                        jnp.pad(colsum, (0, 128 - C))
+                    )
+                    dwc_ref[cs, :C] = dwc_ref[cs, :C] + jax.lax.dot_general(
+                        out_in, g_pre.astype(dtype),
+                        (((0,), (0,)), ((), ())), preferred_element_type=f32,
+                    )
+                    dwc_ref[cs, C:] = dwc_ref[cs, C:] + jax.lax.dot_general(
+                        saved_in, g_pre.astype(dtype),
+                        (((0,), (0,)), ((), ())), preferred_element_type=f32,
+                    )
+                    g_out[...] = jax.lax.dot_general(
+                        g_pre.astype(dtype), wc[:C],
+                        (((1,), (1,)), ((), ())), preferred_element_type=f32,
+                    )
+                    g_saved[...] = gs + jax.lax.dot_general(
+                        g_pre.astype(dtype), wc[C:],
+                        (((1,), (1,)), ((), ())), preferred_element_type=f32,
+                    )
+
+                @pl.when(is_same)
+                def _():
+                    ss = same_slot_ref[tok]
+                    attn_col = out_in[:, :1]
+                    am = jnp.argmax(attn_col[:, 0].astype(f32), axis=0)
+                    onehot = (
+                        jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0] == am
+                    ).astype(dtype)
+                    vec = jnp.sum(x * onehot[:, None], axis=0, keepdims=True)
+                    xsel = x * vec
+                    head = jnp.dot(
+                        xsel, same_wf_ref[ss], preferred_element_type=f32
+                    )
+                    head = head + attn_col.astype(f32) * same_wa_ref[ss, 0]
+                    head = head + same_b_ref[ss][0:1, :8].astype(f32)
+                    attn = jax.nn.sigmoid(head[:, :1])
+
+                    g_attn = jnp.sum(go, axis=1, keepdims=True)
+                    g_h0 = g_attn * attn * (1.0 - attn)  # (HW, 1) f32
+                    g128 = jnp.where(lanes128 == 0, g_h0, 0.0)
+                    dwf_ref[ss] = dwf_ref[ss] + jax.lax.dot_general(
+                        xsel, g128.astype(dtype),
+                        (((0,), (0,)), ((), ())), preferred_element_type=f32,
+                    )
+                    dwa_scalar = jnp.sum(attn_col.astype(f32) * g_h0)
+                    dwa_ref[ss] = dwa_ref[ss] + jnp.where(
+                        (rows8 == 0) & (lanes8_128 == 0), dwa_scalar, 0.0
+                    )
+                    dsb_ref[ss] = dsb_ref[ss] + row0_plane(jnp.sum(g128, axis=0))
+                    g_xsel = jax.lax.dot_general(  # (HW, C)
+                        g128[:, :8].astype(dtype), same_wf_ref[ss],
+                        (((1,), (1,)), ((), ())), preferred_element_type=f32,
+                    )
+                    dx_acc[...] = dx_acc[...] + g_xsel * jnp.broadcast_to(
+                        vec, (HW, C)
+                    ).astype(f32)
+                    g_vec = jnp.sum(x.astype(f32) * g_xsel, axis=0, keepdims=True)
+                    dx_acc[...] = dx_acc[...] + onehot.astype(f32)[:, None] * g_vec
+                    g_attn_col = g_h0 * same_wa_ref[ss, 0]  # (HW, 1)
+                    g_out[...] = jnp.where(lanesC == 0, g_attn_col, 0.0)
+
+            return ()
+
+        jax.lax.fori_loop(0, T, bwd_step, (), unroll=False)
+
+    # initial out register was the stem features themselves
+    dx_ref[0] = (dx_acc[...] + g_out[...]).reshape(H, W, C)
+
+
+def _execute_bwd_pallas(
+    banks, tables, stem_feats, programs, invalid, g_final, interpret=False
+):
+    B, H, W, C = stem_feats.shape
+    T = programs.shape[1]
+    tokens_rev = jnp.flip(programs, axis=1).astype(jnp.int32)
+    S3 = banks["w3"].shape[0]
+    S1 = banks["w1"].shape[0]
+    Ss = banks["same_wf"].shape[0]
+    Sc = banks["wcmp"].shape[0]
+    f32 = jnp.float32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # w3 (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # same_wf
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # same_wa
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # same_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wcmp
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bcmp
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # dw3 (HBM, RMW-accumulated)
+            pl.BlockSpec((S3, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S1, C, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S1, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ss, C, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ss, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ss, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sc, 2 * C, C), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sc, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H * W, C), stem_feats.dtype),            # reg_out
+            pltpu.VMEM((H * W, C), stem_feats.dtype),            # reg_saved
+            pltpu.VMEM((T, H * W, C), stem_feats.dtype),         # out_traj
+            pltpu.SMEM((T,), jnp.int32),                         # lscene
+            pltpu.VMEM((MAX_CHAIN + 1, H * W, C), f32),          # acts
+            pltpu.VMEM((H * W, C), f32),                         # g_out
+            pltpu.VMEM((H * W, C), f32),                         # g_saved
+            pltpu.VMEM((H * W, C), f32),                         # dx_acc
+            pltpu.VMEM((H + 16, W + 16, C), stem_feats.dtype),   # pad_buf
+            pltpu.VMEM((H + 16, W + 16, C), f32),                # gpad
+            pltpu.VMEM((H * W, 9 * C), stem_feats.dtype),        # patches
+            pltpu.VMEM((2, 9 * C, C), banks["w3"].dtype),        # w3 double buffer
+            pltpu.VMEM((9 * C, C), f32),                         # dw3_acc
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    outs = pl.pallas_call(
+        _interpreter_bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), f32),
+            jax.ShapeDtypeStruct((S3, 9 * C, C), f32),
+            jax.ShapeDtypeStruct((S3, 8, 128), f32),
+            jax.ShapeDtypeStruct((S1, C, 128), f32),
+            jax.ShapeDtypeStruct((S1, 8, 128), f32),
+            jax.ShapeDtypeStruct((Ss, C, 128), f32),
+            jax.ShapeDtypeStruct((Ss, 8, 128), f32),
+            jax.ShapeDtypeStruct((Ss, 8, 128), f32),
+            jax.ShapeDtypeStruct((Sc, 2 * C, C), f32),
+            jax.ShapeDtypeStruct((Sc, 8, 128), f32),
+        ],
+        interpret=interpret,
+    )(
+        tokens_rev,
+        tables["kind"], tables["slot3"], tables["head_slot"],
+        tables["cmp_slot"], tables["same_slot"],
+        invalid.astype(jnp.int32),
+        stem_feats,
+        g_final.astype(f32),
+        banks["w3"], banks["b3"], banks["w1"], banks["b1"],
+        banks["same_wf"], banks["same_wa"], banks["same_b"],
+        banks["wcmp"], banks["bcmp"],
+    )
+    dx, dw3, db3, dw1, db1, dwf, dwa, dsb, dwc, dbc = outs
+    d_banks = {
+        "w3": dw3.astype(banks["w3"].dtype),
+        "b3": db3.astype(banks["b3"].dtype),
+        "w1": dw1[:, :, :8].astype(banks["w1"].dtype),
+        "b1": db1.astype(banks["b1"].dtype),
+        "same_wf": dwf[:, :, :8].astype(banks["same_wf"].dtype),
+        "same_wa": dwa[:, 0, :1].astype(banks["same_wa"].dtype),
+        "same_b": dsb.astype(banks["same_b"].dtype),
+        "wcmp": dwc.astype(banks["wcmp"].dtype),
+        "bcmp": dbc.astype(banks["bcmp"].dtype),
+    }
+    return d_banks, dx.astype(stem_feats.dtype)
+
+
+# ------------------------------------------------------------------ custom VJP --------
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _execute_diff(interpret, banks, tables, stem_feats, programs):
+    return execute_programs_pallas(banks, tables, None, stem_feats, programs,
+                                   interpret=interpret)
+
+
+def _execute_diff_fwd(interpret, banks, tables, stem_feats, programs):
+    final, invalid = execute_programs_pallas(
+        banks, tables, None, stem_feats, programs, interpret=interpret
+    )
+    return (final, invalid), (banks, tables, stem_feats, programs, invalid)
+
+
+def _execute_diff_bwd(interpret, residuals, cotangents):
+    banks, tables, stem_feats, programs, invalid = residuals
+    g_final, _g_invalid = cotangents  # invalid is boolean: float0 cotangent
+    d_banks, d_stem = _execute_bwd_pallas(
+        banks, tables, stem_feats, programs, invalid, g_final, interpret=interpret
+    )
+    d_tables = jax.tree_util.tree_map(
+        lambda v: np.zeros(v.shape, dtype=jax.dtypes.float0), tables
+    )
+    d_programs = np.zeros(programs.shape, dtype=jax.dtypes.float0)
+    return d_banks, d_tables, d_stem, d_programs
+
+
+_execute_diff.defvjp(_execute_diff_fwd, _execute_diff_bwd)
+
+
+def execute_programs_pallas_diff(
+    banks: Dict[str, jax.Array],
+    tables: Dict[str, jax.Array],
+    spec: NMNSpec,
+    stem_feats: jax.Array,
+    programs: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    r"""Differentiable fused interpreter: the same forward kernel as
+    :func:`execute_programs_pallas`, with a custom VJP whose backward pass is
+    the replay-and-reverse Pallas kernel (``_interpreter_bwd_kernel``) — this
+    is what makes module/joint training run at serving-path speed."""
+    del spec  # shapes come from the arrays
+    return _execute_diff(interpret, banks, tables, stem_feats, programs)
