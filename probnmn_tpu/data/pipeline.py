@@ -41,6 +41,7 @@ class BatchIterator:
         transform: Optional[Callable] = None,
         device_put: bool = True,
         prefetch: int = 2,
+        sharding=None,
     ):
         self._dataset = dataset
         self._sampler = sampler
@@ -48,6 +49,9 @@ class BatchIterator:
         self._transform = transform
         self._device_put = device_put
         self._prefetch = max(prefetch, 0)
+        # Optional jax.sharding.Sharding: place batches directly onto the mesh
+        # (batch axis over 'data') instead of the default device.
+        self._sharding = sharding
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         while True:
@@ -62,16 +66,21 @@ class BatchIterator:
                 batch = self._transform(batch)
             yield batch
 
+    def _put(self, batch):
+        if not self._device_put:
+            return batch
+        return jax.device_put(batch, self._sharding)
+
     def __iter__(self):
         it = self._host_batches()
         if self._prefetch == 0:
             for batch in it:
-                yield jax.device_put(batch) if self._device_put else batch
+                yield self._put(batch)
             return
         # Stay `prefetch` device batches ahead; async dispatch overlaps H2D with compute.
         queue = []
         for batch in it:
-            queue.append(jax.device_put(batch) if self._device_put else batch)
+            queue.append(self._put(batch))
             if len(queue) > self._prefetch:
                 yield queue.pop(0)
         while queue:
@@ -82,11 +91,13 @@ class EpochIterator:
     r"""Single-pass (evaluation) iterator; drops the final partial batch to keep
     static shapes, mirroring the reference evaluator's fixed ``num_batches`` loop."""
 
-    def __init__(self, dataset, batch_size: int, transform=None, device_put=True):
+    def __init__(self, dataset, batch_size: int, transform=None, device_put=True,
+                 sharding=None):
         self._dataset = dataset
         self._batch_size = batch_size
         self._transform = transform
         self._device_put = device_put
+        self._sharding = sharding
 
     def __len__(self):
         return len(self._dataset) // self._batch_size
@@ -98,4 +109,4 @@ class EpochIterator:
             batch = self._dataset.get_batch(indices)
             if self._transform is not None:
                 batch = self._transform(batch)
-            yield jax.device_put(batch) if self._device_put else batch
+            yield jax.device_put(batch, self._sharding) if self._device_put else batch

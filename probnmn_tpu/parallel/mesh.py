@@ -41,6 +41,20 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_mesh(num_devices: Optional[int] = None, batch_size: Optional[int] = None) -> Optional[Mesh]:
+    r"""Production-trainer mesh policy (replaces the reference's ``--gpu-ids``
+    DataParallel, reference ``_trainer.py:92-100``): ``None``/1 -> single device
+    (no mesh), 0 -> all devices, N -> N devices; the data axis is clamped to the
+    largest count dividing ``batch_size`` (batches shard evenly — XLA collectives
+    need equal shards, unlike torch DataParallel's ragged scatter)."""
+    n = len(jax.devices()) if num_devices == 0 else (num_devices or 1)
+    n = min(n, len(jax.devices()))
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+    return make_mesh(n) if n > 1 else None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     r"""Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

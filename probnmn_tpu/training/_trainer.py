@@ -56,10 +56,21 @@ class _Trainer:
         batches,
         models: Dict[str, Any],
         serialization_dir: str,
+        mesh=None,
     ):
         self._C = config
         self._batches = iter(batches)
         self._params = dict(models)
+        # Data-parallel mesh (reference trains DP over --gpu-ids inside _Trainer,
+        # reference _trainer.py:92-100). Parameters are placed by the sharding
+        # rules (mostly replicated at this model scale); batches arrive sharded
+        # over the 'data' axis from the BatchIterator, and GSPMD inserts the
+        # gradient all-reduce over ICI inside the jitted train step.
+        self._mesh = mesh
+        if mesh is not None:
+            from probnmn_tpu.parallel.mesh import shard_params
+
+            self._params = shard_params(mesh, self._params)
 
         self._tx = make_optimizer(
             self._C.OPTIM.LR_INITIAL, self._C.OPTIM.WEIGHT_DECAY
@@ -174,6 +185,19 @@ class _Trainer:
     @property
     def iteration(self) -> int:
         return self._iteration
+
+    @property
+    def mesh(self):
+        return self._mesh
+
+    def _replicate(self, pytree):
+        r"""Place frozen/auxiliary parameters on the mesh (sharding rules), so
+        jitted steps never mix differently-committed inputs."""
+        if self._mesh is None:
+            return jax.device_put(pytree)
+        from probnmn_tpu.parallel.mesh import shard_params
+
+        return shard_params(self._mesh, pytree)
 
     @property
     def params(self) -> Dict[str, Any]:

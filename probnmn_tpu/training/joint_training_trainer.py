@@ -33,6 +33,7 @@ from probnmn_tpu.modules.elbo import (
     masked_mean,
     reinforce,
 )
+from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.training.program_prior_trainer import make_prior_spec
 from probnmn_tpu.utils.checkpointing import load_objects_flexible
@@ -45,6 +46,7 @@ class JointTrainingTrainer(_Trainer):
         serialization_dir: str,
         cpu_workers: int = 0,
         in_memory_features: bool = True,
+        num_devices=None,
     ):
         if config.PHASE != "joint_training":
             raise ValueError(f"Expected PHASE joint_training, found {config.PHASE}")
@@ -60,7 +62,9 @@ class JointTrainingTrainer(_Trainer):
         sampler = SupervisionWeightedRandomSampler(
             dataset.get_supervision_list(), seed=config.RANDOM_SEED
         )
-        batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
+        batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE,
+                                sharding=batch_sharding(mesh) if mesh else None)
 
         self.pg_spec = program_generator.make_spec(vocabulary, config)
         self.qr_spec = question_reconstructor.make_spec(vocabulary, config)
@@ -92,7 +96,7 @@ class JointTrainingTrainer(_Trainer):
         )
         models.update(restored)
 
-        super().__init__(config, batches, models, serialization_dir)
+        super().__init__(config, batches, models, serialization_dir, mesh=mesh)
         self._vocabulary = vocabulary
 
         # Frozen prior (reference :109-114).
@@ -102,7 +106,7 @@ class JointTrainingTrainer(_Trainer):
             config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template},
             specs={"program_prior": self.prior_spec}, vocabulary=vocabulary,
         )
-        self._prior_params = jax.device_put(restored["program_prior"])
+        self._prior_params = self._replicate(restored["program_prior"])
 
         self._train_step = self._build_step_fn()
 
@@ -113,6 +117,13 @@ class JointTrainingTrainer(_Trainer):
         tx = self._tx
         alpha, beta, gamma, delta = self._C.ALPHA, self._C.BETA, self._C.GAMMA, self._C.DELTA
         objective = self._C.OBJECTIVE
+        # Fused-Pallas differentiable interpreter on TPU (custom-VJP backward
+        # kernel); XLA register machine elsewhere — identical semantics/grads.
+        nmn_forward = (
+            nmn_lib.nmn_forward_fast
+            if nmn_lib.fast_training_available(nmn_spec)
+            else nmn_lib.nmn_forward
+        )
 
         @jax.jit
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
@@ -131,7 +142,7 @@ class JointTrainingTrainer(_Trainer):
                     p["question_reconstructor"], qr_spec,
                     z, batch["question"], "sampling", keys[1], train=True,
                 )
-                nmn_out = nmn_lib.nmn_forward(
+                nmn_out = nmn_forward(
                     p["nmn"], nmn_spec, image_to_nhwc(batch["image"]), z, batch["answer"]
                 )
                 nmn_loss = masked_mean(nmn_out["loss"], unsup)

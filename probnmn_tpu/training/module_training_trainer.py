@@ -19,6 +19,7 @@ from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models import program_generator
 from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
@@ -30,6 +31,7 @@ class ModuleTrainingTrainer(_Trainer):
         serialization_dir: str,
         cpu_workers: int = 0,
         in_memory_features: bool = True,
+        num_devices=None,
     ):
         if config.PHASE != "module_training":
             raise ValueError(f"Expected PHASE module_training, found {config.PHASE}")
@@ -38,17 +40,20 @@ class ModuleTrainingTrainer(_Trainer):
         dataset = ModuleTrainingDataset(
             config.DATA.TRAIN_TOKENS, config.DATA.TRAIN_FEATURES, in_memory=in_memory_features
         )
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
         batches = BatchIterator(
             dataset,
             RandomSampler(len(dataset), seed=config.RANDOM_SEED),
             config.OPTIM.BATCH_SIZE,
+            sharding=batch_sharding(mesh) if mesh else None,
         )
 
         self.nmn_spec = nmn_lib.make_spec(vocabulary, config)
         params = nmn_lib.init_nmn_params(
             jax.random.PRNGKey(config.RANDOM_SEED), self.nmn_spec
         )
-        super().__init__(config, batches, {"nmn": params}, serialization_dir)
+        super().__init__(config, batches, {"nmn": params}, serialization_dir,
+                         mesh=mesh)
         self._vocabulary = vocabulary
 
         # Frozen ProgramGenerator from the question_coding checkpoint.
@@ -58,12 +63,19 @@ class ModuleTrainingTrainer(_Trainer):
             config.CHECKPOINTS.QUESTION_CODING, {"program_generator": pg_template},
             specs={"program_generator": self.pg_spec}, vocabulary=vocabulary,
         )
-        self._pg_params = jax.device_put(restored["program_generator"])
+        self._pg_params = self._replicate(restored["program_generator"])
 
         self._train_step = self._build_step_fn()
 
     def _build_step_fn(self):
         nmn_spec, pg_spec, tx = self.nmn_spec, self.pg_spec, self._tx
+        # Fused-Pallas differentiable interpreter on TPU (custom-VJP backward
+        # kernel); XLA register machine elsewhere — identical semantics/grads.
+        nmn_forward = (
+            nmn_lib.nmn_forward_fast
+            if nmn_lib.fast_training_available(nmn_spec)
+            else nmn_lib.nmn_forward
+        )
 
         @jax.jit
         def train_step(params, opt_state, rng, batch, pg_params):
@@ -76,7 +88,7 @@ class ModuleTrainingTrainer(_Trainer):
             image = image_to_nhwc(batch["image"])
 
             def loss_fn(p):
-                out = nmn_lib.nmn_forward(
+                out = nmn_forward(
                     p["nmn"], nmn_spec, image, programs, batch["answer"]
                 )
                 return out["loss"].mean(), out["metrics"]

@@ -20,6 +20,7 @@ from probnmn_tpu.models.program_prior import (
     init_program_prior_params,
     program_prior_forward,
 )
+from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
 from probnmn_tpu.training._trainer import _Trainer
 
 
@@ -34,23 +35,27 @@ def make_prior_spec(config: Config, vocabulary: Vocabulary) -> ProgramPriorSpec:
 
 
 class ProgramPriorTrainer(_Trainer):
-    def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0):
+    def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0,
+                 num_devices=None):
         if config.PHASE != "program_prior":
             raise ValueError(f"Expected PHASE program_prior, found {config.PHASE}")
 
         vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         dataset = ProgramPriorDataset(config.DATA.TRAIN_TOKENS)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
         batches = BatchIterator(
             dataset,
             RandomSampler(len(dataset), seed=config.RANDOM_SEED),
             config.OPTIM.BATCH_SIZE,
+            sharding=batch_sharding(mesh) if mesh else None,
         )
         self.spec = make_prior_spec(config, vocabulary)
         params = init_program_prior_params(
             jax.random.PRNGKey(config.RANDOM_SEED), self.spec
         )
 
-        super().__init__(config, batches, {"program_prior": params}, serialization_dir)
+        super().__init__(config, batches, {"program_prior": params}, serialization_dir,
+                         mesh=mesh)
         self._vocabulary = vocabulary
         self._train_step = self._build_step_fn()
 

@@ -29,13 +29,15 @@ from probnmn_tpu.modules.elbo import (
     masked_mean,
     question_coding_reward,
 )
+from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.training.program_prior_trainer import make_prior_spec
 from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
 
 class QuestionCodingTrainer(_Trainer):
-    def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0):
+    def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0,
+                 num_devices=None):
         if config.PHASE != "question_coding":
             raise ValueError(f"Expected PHASE question_coding, found {config.PHASE}")
 
@@ -48,7 +50,9 @@ class QuestionCodingTrainer(_Trainer):
         sampler = SupervisionWeightedRandomSampler(
             dataset.get_supervision_list(), seed=config.RANDOM_SEED
         )
-        batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
+        batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE,
+                                sharding=batch_sharding(mesh) if mesh else None)
 
         self.pg_spec = program_generator.make_spec(vocabulary, config)
         self.qr_spec = question_reconstructor.make_spec(vocabulary, config)
@@ -58,7 +62,7 @@ class QuestionCodingTrainer(_Trainer):
             "program_generator": program_generator.init_params(k_pg, self.pg_spec),
             "question_reconstructor": question_reconstructor.init_params(k_qr, self.qr_spec),
         }
-        super().__init__(config, batches, models, serialization_dir)
+        super().__init__(config, batches, models, serialization_dir, mesh=mesh)
         self._vocabulary = vocabulary
 
         # Frozen ProgramPrior from the program_prior phase checkpoint.
@@ -68,7 +72,7 @@ class QuestionCodingTrainer(_Trainer):
             config.CHECKPOINTS.PROGRAM_PRIOR, {"program_prior": prior_template},
             specs={"program_prior": self.prior_spec}, vocabulary=vocabulary,
         )
-        self._prior_params = jax.device_put(restored["program_prior"])
+        self._prior_params = self._replicate(restored["program_prior"])
 
         self._train_step = self._build_step_fn()
 

@@ -3,9 +3,11 @@ Training CLI (reference ``scripts/train.py``): same argument surface, same
 phase dispatch, same loop structure — ``trainer.step()`` every iteration,
 evaluate + ``after_validation`` every ``--checkpoint-every`` iterations.
 
-``--gpu-ids`` is accepted for CLI compatibility but ignored: device placement is
-JAX's, and multi-chip execution is governed by the mesh utilities in
-``probnmn_tpu.parallel`` (data-parallel sharding replaces nn.DataParallel).
+``--gpu-ids`` is accepted for CLI compatibility but ignored; its role is taken
+by ``--num-devices``: the trainers build a ``jax.sharding.Mesh`` over that many
+devices, shard each batch over the 'data' axis, and let GSPMD insert the
+gradient all-reduce over ICI (data-parallel sharding replaces nn.DataParallel,
+reference ``_trainer.py:92-100``).
 """
 import argparse
 import logging
@@ -41,6 +43,14 @@ parser.add_argument(
     help="A sequence of key-value pairs overriding the config.",
 )
 parser.add_argument("--gpu-ids", nargs="+", type=int, default=[0], help="Ignored (JAX devices).")
+parser.add_argument(
+    "--num-devices",
+    type=int,
+    default=1,
+    help="Data-parallel device count (replaces --gpu-ids): 1 = single device, "
+    "0 = all visible devices, N = first N devices; batches shard over the mesh "
+    "and GSPMD all-reduces gradients over ICI.",
+)
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--serialization-dir", default="checkpoints/experiment")
 parser.add_argument("--checkpoint-every", type=int, default=500)
@@ -79,7 +89,8 @@ def main(args):
     np.random.seed(config.RANDOM_SEED)
 
     trainer = TRAINERS[args.phase](
-        config, serialization_dir=args.serialization_dir, cpu_workers=args.cpu_workers
+        config, serialization_dir=args.serialization_dir, cpu_workers=args.cpu_workers,
+        num_devices=args.num_devices,
     )
     evaluator = EVALUATORS[args.phase](config, trainer)
 
