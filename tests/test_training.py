@@ -202,3 +202,36 @@ def test_evaluate_script(pipeline):
         ]
     )
     evaluate.main(args)  # logs metrics; must not raise
+
+
+def test_verify_parity_script(pipeline, tmp_path):
+    """scripts/verify_parity.py: evaluates checkpoints per phase, writes a JSON
+    report, and enforces the ±0.5% tolerance against expected metrics."""
+    root = pipeline["root"]
+    assert pipeline.get("prior_trained")
+    import json
+    from scripts import verify_parity
+
+    config_path = os.path.join(root, "parity_config.yml")
+    make_fixture_config(root, "program_prior").dump(config_path)
+    ckpt = os.path.join(root, "program_prior_best.ckpt")
+    out = os.path.join(str(tmp_path), "report.json")
+
+    base = [
+        "--checkpoints", f"program_prior={ckpt}",
+        "--configs", f"program_prior={config_path}",
+        "--num-val-batches", "2",
+    ]
+    rc = verify_parity.main(verify_parity.parser.parse_args(base + ["--output", out]))
+    assert rc == 0
+    report = json.load(open(out))
+    ppl = report["program_prior"]["program_prior"]["perplexity"]
+    assert ppl > 1.0
+
+    # Matching expectation passes; a 50%-off expectation fails the tolerance.
+    good = os.path.join(str(tmp_path), "good.json")
+    json.dump({"program_prior": {"program_prior": {"perplexity": ppl}}}, open(good, "w"))
+    assert verify_parity.main(verify_parity.parser.parse_args(base + ["--expected", good])) == 0
+    bad = os.path.join(str(tmp_path), "bad.json")
+    json.dump({"program_prior": {"program_prior": {"perplexity": ppl * 1.5}}}, open(bad, "w"))
+    assert verify_parity.main(verify_parity.parser.parse_args(base + ["--expected", bad])) == 1
