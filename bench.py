@@ -67,7 +67,14 @@ def main():
 
     def many(params, questions, images, rng):
         def body(i, acc):
-            preds = pipeline(params, questions, images, jax.random.fold_in(rng, i))
+            # Every stage must be loop-VARIANT or XLA hoists it out of the
+            # timing loop (the PG encoder depends only on questions and the
+            # stem only on images — both would be computed once and reused,
+            # inflating the number ~2x). Rolling the batch and perturbing the
+            # images defeats hoisting without changing the workload.
+            q = jnp.roll(questions, i, axis=0)
+            img = images + 0.0 * jax.random.uniform(jax.random.fold_in(rng, i + ITERS), ())
+            preds = pipeline(params, q, img, jax.random.fold_in(rng, i))
             return acc + preds.sum()
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.int32))
 

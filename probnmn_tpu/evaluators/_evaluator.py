@@ -17,6 +17,18 @@ from typing import Any, Dict, Optional
 from probnmn_tpu.config import Config
 
 
+def eval_sharding(trainer):
+    r"""Batch sharding for evaluation: when the trainer runs on a mesh, val
+    batches shard over the same 'data' axis (the reference's DataParallel wraps
+    the shared models at eval too — evaluators receive the trainer's models)."""
+    mesh = getattr(trainer, "mesh", None)
+    if mesh is None:
+        return None
+    from probnmn_tpu.parallel.mesh import batch_sharding
+
+    return batch_sharding(mesh)
+
+
 class _Evaluator:
     def __init__(self, config: Config, trainer, val_batches):
         self._C = config

@@ -14,7 +14,7 @@ import numpy as np
 from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import JointTrainingDataset
 from probnmn_tpu.data.pipeline import EpochIterator, image_to_nhwc
-from probnmn_tpu.evaluators._evaluator import _Evaluator
+from probnmn_tpu.evaluators._evaluator import _Evaluator, eval_sharding
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models.seq2seq import seq2seq_forward
 from probnmn_tpu.utils.metrics import Average, BooleanAccuracy, SequenceAccuracy
@@ -29,7 +29,8 @@ class JointTrainingEvaluator(_Evaluator):
             in_memory=in_memory_features,
         )
         super().__init__(
-            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE)
+            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE,
+                          sharding=eval_sharding(trainer))
         )
         self._pg_spec = trainer.pg_spec
         self._nmn_spec = trainer.nmn_spec

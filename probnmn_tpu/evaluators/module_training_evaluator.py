@@ -16,7 +16,7 @@ from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import ModuleTrainingDataset
 from probnmn_tpu.data.pipeline import EpochIterator, image_to_nhwc
 from probnmn_tpu.data.vocabulary import Vocabulary
-from probnmn_tpu.evaluators._evaluator import _Evaluator
+from probnmn_tpu.evaluators._evaluator import _Evaluator, eval_sharding
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models import program_generator
 from probnmn_tpu.models.seq2seq import seq2seq_forward
@@ -30,7 +30,8 @@ class ModuleTrainingEvaluator(_Evaluator):
             config.DATA.VAL_TOKENS, config.DATA.VAL_FEATURES, in_memory=in_memory_features
         )
         super().__init__(
-            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE)
+            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE,
+                          sharding=eval_sharding(trainer))
         )
         vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         self._pg_spec = program_generator.make_spec(vocabulary, config)

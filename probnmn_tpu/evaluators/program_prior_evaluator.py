@@ -16,7 +16,7 @@ from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import ProgramPriorDataset
 from probnmn_tpu.data.pipeline import EpochIterator
 from probnmn_tpu.data.vocabulary import Vocabulary
-from probnmn_tpu.evaluators._evaluator import _Evaluator
+from probnmn_tpu.evaluators._evaluator import _Evaluator, eval_sharding
 from probnmn_tpu.models.program_prior import program_prior_forward
 from probnmn_tpu.utils.metrics import Average
 
@@ -27,7 +27,8 @@ class ProgramPriorEvaluator(_Evaluator):
     def __init__(self, config: Config, trainer):
         dataset = ProgramPriorDataset(config.DATA.VAL_TOKENS)
         super().__init__(
-            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE)
+            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE,
+                          sharding=eval_sharding(trainer))
         )
         self._vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         self._spec = trainer.spec

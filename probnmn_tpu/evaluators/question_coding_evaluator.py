@@ -18,7 +18,7 @@ from probnmn_tpu.config import Config
 from probnmn_tpu.data.datasets import QuestionCodingDataset
 from probnmn_tpu.data.pipeline import EpochIterator
 from probnmn_tpu.data.vocabulary import Vocabulary
-from probnmn_tpu.evaluators._evaluator import _Evaluator
+from probnmn_tpu.evaluators._evaluator import _Evaluator, eval_sharding
 from probnmn_tpu.models.seq2seq import seq2seq_forward
 from probnmn_tpu.utils.metrics import (
     Average,
@@ -67,7 +67,8 @@ class QuestionCodingEvaluator(_Evaluator):
     def __init__(self, config: Config, trainer):
         dataset = QuestionCodingDataset(config.DATA.VAL_TOKENS)
         super().__init__(
-            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE)
+            config, trainer, EpochIterator(dataset, config.OPTIM.BATCH_SIZE,
+                          sharding=eval_sharding(trainer))
         )
         self._vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         self._pg_spec = trainer.pg_spec

@@ -434,6 +434,38 @@ def execute_programs(
     return final, invalid
 
 
+def _outputs_from_logits(
+    logits: jax.Array,
+    invalid: jax.Array,
+    spec: NMNSpec,
+    answers: Optional[jax.Array],
+) -> Dict[str, jax.Array]:
+    r"""Shared output contract (reference ``nmn.py:244-275``): invalid programs
+    predict @@UNKNOWN@@ at loss 3.33; valid ones get per-example CE with answers,
+    else the negative max answer log-prob."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    pred_logprob = jnp.max(logprobs, axis=-1)
+    predictions = jnp.argmax(logprobs, axis=-1)
+    predictions = jnp.where(invalid, spec.unk_answer_index, predictions)
+    if answers is not None:
+        ce = -jnp.take_along_axis(logprobs, answers[:, None], axis=-1)[:, 0]
+        loss = jnp.where(invalid, INVALID_LOSS, ce)
+        accuracy = (predictions == answers).mean()
+    else:
+        loss = jnp.where(invalid, INVALID_LOSS, -pred_logprob)
+        accuracy = jnp.zeros(())
+    return {
+        "predictions": predictions,
+        "loss": loss,
+        "answer_logits": logits,
+        "invalid": invalid,
+        "metrics": {
+            "answer_accuracy": accuracy,
+            "average_invalid": invalid.sum(),
+        },
+    }
+
+
 def nmn_forward(
     params: Dict[str, Any],
     spec: NMNSpec,
@@ -453,30 +485,49 @@ def nmn_forward(
     stem_feats = apply_stem(params["stem"], features)
     final, invalid = execute_programs(params, spec, stem_feats, programs)
     logits = apply_classifier(params["classifier"], final).astype(jnp.float32)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    return _outputs_from_logits(logits, invalid, spec, answers)
 
-    pred_logprob = jnp.max(logprobs, axis=-1)
-    predictions = jnp.argmax(logprobs, axis=-1)
-    predictions = jnp.where(invalid, spec.unk_answer_index, predictions)
 
-    if answers is not None:
-        ce = -jnp.take_along_axis(logprobs, answers[:, None], axis=-1)[:, 0]
-        loss = jnp.where(invalid, INVALID_LOSS, ce)
-        accuracy = (predictions == answers).mean()
-    else:
-        loss = jnp.where(invalid, INVALID_LOSS, -pred_logprob)
-        accuracy = jnp.zeros(())
+def fast_training_available(spec: NMNSpec) -> bool:
+    r"""The fused Pallas interpreter (forward + custom-VJP backward) needs a TPU
+    backend and lane-aligned module channels (Mosaic tiling)."""
+    return jax.default_backend() == "tpu" and spec.module_channels % 128 == 0
 
-    return {
-        "predictions": predictions,
-        "loss": loss,
-        "answer_logits": logits,
-        "invalid": invalid,
-        "metrics": {
-            "answer_accuracy": accuracy,
-            "average_invalid": invalid.sum(),
-        },
-    }
+
+def nmn_forward_fast(
+    params: Dict[str, Any],
+    spec: NMNSpec,
+    features: jax.Array,
+    programs: jax.Array,
+    answers: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    r"""Same contract as :func:`nmn_forward`, but the program interpreter is the
+    fused Pallas kernel with its replay-and-reverse backward kernel — fully
+    differentiable wrt ``params`` (cotangents scatter back through the traced
+    bank stacking) and ``features``. This is the production TRAINING path on
+    TPU; gradients match :func:`nmn_forward` (tested in interpret mode against
+    the XLA machine, which is itself validated against the torch fixture)."""
+    from probnmn_tpu.ops.pallas.nmn_interpreter import (
+        build_banks,
+        build_tables,
+        execute_programs_pallas_diff,
+    )
+
+    dtype = jnp.dtype(spec.compute_dtype)
+    banks = build_banks(params, spec, dtype)
+    tables = build_tables(spec)
+    stem_feats = apply_stem(
+        jax.tree_util.tree_map(lambda x: x.astype(dtype), params["stem"]),
+        features.astype(dtype),
+    )
+    final, invalid = execute_programs_pallas_diff(
+        banks, tables, spec, stem_feats, programs, interpret=interpret
+    )
+    logits = apply_classifier(
+        jax.tree_util.tree_map(lambda x: x.astype(dtype), params["classifier"]), final
+    ).astype(jnp.float32)
+    return _outputs_from_logits(logits, invalid, spec, answers)
 
 
 def fast_forward_from_tables(
@@ -510,24 +561,7 @@ def fast_forward_from_tables(
     logits = apply_classifier(
         jax.tree_util.tree_map(lambda x: x.astype(dtype), classifier_params), final
     ).astype(jnp.float32)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    pred_logprob = jnp.max(logprobs, axis=-1)
-    predictions = jnp.argmax(logprobs, axis=-1)
-    predictions = jnp.where(invalid, spec.unk_answer_index, predictions)
-    if answers is not None:
-        ce = -jnp.take_along_axis(logprobs, answers[:, None], axis=-1)[:, 0]
-        loss = jnp.where(invalid, INVALID_LOSS, ce)
-        accuracy = (predictions == answers).mean()
-    else:
-        loss = jnp.where(invalid, INVALID_LOSS, -pred_logprob)
-        accuracy = jnp.zeros(())
-    return {
-        "predictions": predictions,
-        "loss": loss,
-        "answer_logits": logits,
-        "invalid": invalid,
-        "metrics": {"answer_accuracy": accuracy, "average_invalid": invalid.sum()},
-    }
+    return _outputs_from_logits(logits, invalid, spec, answers)
 
 
 def make_fast_inference_fn(params: Dict[str, Any], spec: NMNSpec, interpret: bool = False):
@@ -538,7 +572,8 @@ def make_fast_inference_fn(params: Dict[str, Any], spec: NMNSpec, interpret: boo
     same output contract as :func:`nmn_forward`. ~28x faster than the XLA
     register machine on a v5e chip (the interpreter executes each example's
     program exactly instead of computing every module class at every step).
-    Inference-only: not differentiable — training uses :func:`nmn_forward`.
+    For training at kernel speed use :func:`nmn_forward_fast` (differentiable
+    via the replay-and-reverse backward kernel).
     """
     from probnmn_tpu.ops.pallas.nmn_interpreter import (
         build_kernel_tables,
@@ -560,23 +595,6 @@ def make_fast_inference_fn(params: Dict[str, Any], spec: NMNSpec, interpret: boo
             banks, tables, spec, stem_feats, programs, interpret=interpret
         )
         logits = apply_classifier(classifier_params, final).astype(jnp.float32)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        pred_logprob = jnp.max(logprobs, axis=-1)
-        predictions = jnp.argmax(logprobs, axis=-1)
-        predictions = jnp.where(invalid, spec.unk_answer_index, predictions)
-        if answers is not None:
-            ce = -jnp.take_along_axis(logprobs, answers[:, None], axis=-1)[:, 0]
-            loss = jnp.where(invalid, INVALID_LOSS, ce)
-            accuracy = (predictions == answers).mean()
-        else:
-            loss = jnp.where(invalid, INVALID_LOSS, -pred_logprob)
-            accuracy = jnp.zeros(())
-        return {
-            "predictions": predictions,
-            "loss": loss,
-            "answer_logits": logits,
-            "invalid": invalid,
-            "metrics": {"answer_accuracy": accuracy, "average_invalid": invalid.sum()},
-        }
+        return _outputs_from_logits(logits, invalid, spec, answers)
 
     return forward

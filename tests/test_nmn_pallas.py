@@ -77,20 +77,134 @@ def test_fast_inference_fn_matches_nmn_forward(setup):
     np.testing.assert_allclose(np.asarray(out["loss"]), np.asarray(ref["loss"]), atol=1e-5)
 
 
-def test_fused_lstm_layer_matches_scan():
-    """Experimental fused LSTM kernel == the scan reference (interpret mode)."""
-    from probnmn_tpu.ops import rnn
-    from probnmn_tpu.ops.pallas.lstm import lstm_encode_pallas
+def test_pallas_interpreter_gradients_match_xla_machine(setup):
+    """The replay-and-reverse backward kernel == autodiff through the XLA
+    register machine, for every parameter bank and the input features, over
+    programs covering all module kinds + invalid paths (interpret mode)."""
+    vocab, spec, params = setup
+    programs = jnp.asarray(_programs(vocab, PROGRAM_CASES))
+    rs = np.random.RandomState(7)
+    B = len(PROGRAM_CASES)
+    feats = jnp.asarray(
+        rs.randn(B, spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    answers = jnp.asarray(rs.randint(0, spec.num_answers, (B,)))
 
-    B, T, D, H, L = 4, 7, 8, 12, 2
-    params = rnn.init_lstm_params(jax.random.PRNGKey(0), D, H, L)
-    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
-    lengths = np.array([7, 5, 3, 1])
-    mask = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
-    ref_out, ref_finals = rnn.lstm_encode(params, x, mask)
-    out, finals = lstm_encode_pallas(params, x, mask, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
-    for layer in range(L):
+    def loss_ref(p, f):
+        return nmn.nmn_forward(p, spec, f, programs, answers)["loss"].mean()
+
+    def loss_fast(p, f):
+        return nmn.nmn_forward_fast(
+            p, spec, f, programs, answers, interpret=True
+        )["loss"].mean()
+
+    la, (ga, gfa) = jax.value_and_grad(loss_ref, argnums=(0, 1))(params, feats)
+    lb, (gb, gfb) = jax.value_and_grad(loss_fast, argnums=(0, 1))(params, feats)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gfa), np.asarray(gfb), atol=2e-5, rtol=1e-4)
+    for (path_a, va), (path_b, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(ga)[0],
+        jax.tree_util.tree_flatten_with_path(gb)[0],
+    ):
         np.testing.assert_allclose(
-            np.asarray(finals[layer][0]), np.asarray(ref_finals[layer][0]), atol=1e-5
+            np.asarray(va), np.asarray(vb), atol=5e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path_a),
         )
+
+
+def test_pallas_gradient_fuzz_random_programs(setup):
+    """Property fuzz: random token soups (valid and invalid mixes) keep the
+    Pallas VJP identical to the XLA machine's gradients."""
+    vocab, spec, params = setup
+    rs = np.random.RandomState(11)
+    V = vocab.get_vocab_size("programs")
+    B, T = 16, 9
+    programs = jnp.asarray(rs.randint(0, V, (B, T)).astype(np.int64))
+    feats = jnp.asarray(
+        rs.randn(B, spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    answers = jnp.asarray(rs.randint(0, spec.num_answers, (B,)))
+
+    def loss_ref(p):
+        return nmn.nmn_forward(p, spec, feats, programs, answers)["loss"].sum()
+
+    def loss_fast(p):
+        return nmn.nmn_forward_fast(
+            p, spec, feats, programs, answers, interpret=True
+        )["loss"].sum()
+
+    ga = jax.grad(loss_ref)(params)
+    gb = jax.grad(loss_fast)(params)
+    for (path_a, va), (_, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(ga)[0],
+        jax.tree_util.tree_flatten_with_path(gb)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=5e-5, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path_a),
+        )
+
+
+def test_tri_implementation_forward_fuzz(setup):
+    """Hundreds of random programs (garbage soups + template-built valid ones)
+    produce identical invalid masks/predictions and matching losses across all
+    THREE implementations: torch per-example fixture, XLA register machine,
+    and the fused Pallas kernel (interpret mode). SURVEY §6 parity protocol."""
+    import torch
+    from tests.test_nmn import TorchInterpreter
+
+    vocab, spec, params = setup
+    rs = np.random.RandomState(23)
+    V = vocab.get_vocab_size("programs")
+    T = 10
+
+    def tok(name):
+        return vocab.get_token_index(name, "programs")
+
+    def template_program():
+        # [reduce] + filter chain + scene (+ optionally a second chain via a
+        # binary op) — mostly valid, occasionally not (short truncations).
+        body = [tok(rs.choice(["count", "exist", "query_shape"]))]
+        if rs.rand() < 0.3:
+            body = [tok(rs.choice(["intersect", "union", "equal_color"]))] + body
+        for _ in range(rs.randint(1, 4)):
+            body.append(tok(rs.choice(
+                ["filter_color[red]", "filter_shape[cube]", "relate[left]", "same_size"]
+            )))
+        body.append(tok("scene"))
+        if rs.rand() < 0.4:
+            body += [tok("filter_color[red]"), tok("scene")]
+        return body[:T] + [0] * max(0, T - len(body))
+
+    soups = rs.randint(0, V, (128, T))
+    templates = np.asarray([template_program() for _ in range(96)])
+    programs = jnp.asarray(np.concatenate([soups, templates]).astype(np.int64))
+    B = programs.shape[0]
+    feats = jnp.asarray(
+        rs.randn(B, spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    answers = jnp.asarray(rs.randint(0, spec.num_answers, (B,)))
+
+    xla = nmn.nmn_forward(params, spec, feats, programs, answers)
+    fast = nmn.nmn_forward_fast(params, spec, feats, programs, answers, interpret=True)
+    interp = TorchInterpreter(params, spec, vocab)
+    tlogits, tpreds, tloss, tinvalid = interp.forward(
+        torch.tensor(np.asarray(feats)).permute(0, 3, 1, 2),
+        torch.tensor(np.asarray(programs)),
+        torch.tensor(np.asarray(answers, np.int64)),
+    )
+
+    # some soups must be invalid AND some templates valid, else the fuzz is vacuous
+    inv = np.asarray(xla["invalid"])
+    assert inv[:128].sum() > 30
+    assert (~inv[128:]).sum() > 30
+
+    np.testing.assert_array_equal(inv.astype(int), tinvalid.numpy())
+    np.testing.assert_array_equal(np.asarray(fast["invalid"]), inv)
+    np.testing.assert_array_equal(np.asarray(xla["predictions"]), tpreds.numpy())
+    np.testing.assert_array_equal(np.asarray(fast["predictions"]), tpreds.numpy())
+    np.testing.assert_allclose(np.asarray(xla["loss"]), tloss.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast["loss"]), tloss.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(fast["answer_logits"]), tlogits.numpy(), atol=1e-4
+    )

@@ -149,3 +149,27 @@ def test_auto_mesh_policy():
     assert dict(m.shape) == {"data": 8, "model": 1}
     m = auto_mesh(8, batch_size=12)         # clamp to the largest divisor of batch
     assert dict(m.shape) == {"data": 6, "model": 1}
+
+
+def test_evaluator_on_mesh_matches_single_device(tmp_path):
+    """Evaluation shards val batches over the trainer's mesh and reproduces
+    single-device metrics."""
+    import os
+    from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+    from probnmn_tpu.evaluators.program_prior_evaluator import ProgramPriorEvaluator
+    from probnmn_tpu.training.program_prior_trainer import ProgramPriorTrainer
+
+    root = str(tmp_path)
+    build_fixture_data(root)
+    config = make_fixture_config(root, "program_prior")
+    results = {}
+    for nd in (None, 8):
+        np.random.seed(config.RANDOM_SEED)
+        trainer = ProgramPriorTrainer(
+            config, os.path.join(root, f"ev_{nd}"), num_devices=nd
+        )
+        evaluator = ProgramPriorEvaluator(config, trainer)
+        results[nd] = evaluator.evaluate(num_batches=2)
+    a = results[None]["program_prior"]["perplexity"]
+    b = results[8]["program_prior"]["perplexity"]
+    np.testing.assert_allclose(a, b, rtol=1e-4)
