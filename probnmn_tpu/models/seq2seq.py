@@ -213,3 +213,36 @@ def seq2seq_forward(
             logprobs, predictions, spec.pad_index
         )
     return output
+
+
+def fast_sampling_available(spec: Seq2SeqSpec) -> bool:
+    r"""The fused Pallas sampling kernel (``ops/pallas/seq2seq_decode.py``)
+    needs a TPU backend and lane-aligned hidden/input sizes (Mosaic tiling)."""
+    return (
+        jax.default_backend() == "tpu"
+        and spec.hidden_size % 128 == 0
+        and spec.input_size % 128 == 0
+    )
+
+
+def sampling_forward_serving(
+    params: Dict[str, Any],
+    spec: Seq2SeqSpec,
+    source_tokens: jax.Array,
+    rng: jax.Array,
+) -> Dict[str, jax.Array]:
+    r"""Free-running sampling decode on the SERVING path (inference/bench).
+
+    Dispatches to the fused Pallas kernel — the whole encoder + attentive
+    sampling decoder + trim + loss in one kernel, ~1.7x the XLA scan at CLEVR
+    scale (PERF.md) — when the backend supports it, else to
+    :func:`seq2seq_forward`. Identical output contract and sampling
+    distribution; the sampled stream itself differs (hardware PRNG vs
+    ``jax.random.categorical``). Not differentiable — training uses
+    :func:`seq2seq_forward`.
+    """
+    if fast_sampling_available(spec):
+        from probnmn_tpu.ops.pallas.seq2seq_decode import fused_sampling_forward
+
+        return fused_sampling_forward(params, spec, source_tokens, rng)
+    return seq2seq_forward(params, spec, source_tokens, None, SAMPLING, rng)

@@ -23,7 +23,7 @@ from probnmn_tpu.data.pipeline import EpochIterator, image_to_nhwc
 from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.models import nmn as nmn_lib
 from probnmn_tpu.models import program_generator
-from probnmn_tpu.models.seq2seq import seq2seq_forward
+from probnmn_tpu.models.seq2seq import sampling_forward_serving
 from probnmn_tpu.utils.checkpointing import load_objects
 
 parser = argparse.ArgumentParser(
@@ -65,7 +65,9 @@ def main(args):
 
     @jax.jit
     def infer_step(pg_p, questions, images, rng):
-        pg_out = seq2seq_forward(pg_p, pg_spec, questions, None, "sampling", rng)
+        # Sampling at inference is the reference's (quirky) default; the fused
+        # Pallas sampling kernel serves it on TPU, the XLA scan elsewhere.
+        pg_out = sampling_forward_serving(pg_p, pg_spec, questions, rng)
         nmn_out = nmn_fast(image_to_nhwc(images), pg_out["predictions"])
         return nmn_out["predictions"]
 
