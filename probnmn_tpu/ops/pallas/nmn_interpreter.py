@@ -196,6 +196,9 @@ def _interpreter_kernel(
     head_slot_ref,   # (V,)
     cmp_slot_ref,    # (V,)
     same_slot_ref,   # (V,)
+    start_ref,       # (B,) first non-pad step in execution order (pads are a
+                     # reversed-order PREFIX; skipping them is a no-op by the
+                     # reference's skip rule, nmn.py:207)
     # tensor inputs
     x_ref,           # (1, H, W, C) stem features block (VMEM)
     w3_ref,          # (S3, 9C, C) HBM — DMA'd per layer (im2col rows)
@@ -412,7 +415,20 @@ def _interpreter_kernel(
 
         return ()
 
-    jax.lax.fori_loop(0, T, run_token, (), unroll=False)
+    # Ragged execution: start at the first non-pad token (reversed-order pad
+    # prefix skipped — ~0.2 us/step x 18 pads/example on real programs) and
+    # stop at the first invalid operation (the reference's try/except abort,
+    # nmn.py:202-238 — on garbage programs this skips ~24 of 26 steps).
+    def loop_cond(carry):
+        t, inv = carry
+        return (t < T) & (inv == 0)
+
+    def loop_body(carry):
+        t, _ = carry
+        run_token(t, ())
+        return (t + 1, tag_ref[2])
+
+    jax.lax.while_loop(loop_cond, loop_body, (start_ref[b], 0))
 
     invalid = tag_ref[2] | jnp.where(tag_ref[0] != TAG_FEAT, 1, 0)
     invalid_ref[0] = jnp.full((8, 128), invalid, jnp.int32)
@@ -432,9 +448,12 @@ def execute_programs_pallas(
     r"""Drop-in replacement for ``models.nmn.execute_programs`` (inference path)."""
     B, H, W, C = stem_feats.shape
     tokens_rev = jnp.flip(programs, axis=1).astype(jnp.int32)
+    # First non-pad step per example (execution order); all-pad rows get 0 and
+    # simply no-op through the machine.
+    start_t = jnp.argmax(tokens_rev != 0, axis=1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -476,6 +495,7 @@ def execute_programs_pallas(
         tokens_rev,
         tables["kind"], tables["chain_len"], tables["slot3"],
         tables["head_slot"], tables["cmp_slot"], tables["same_slot"],
+        start_t,
         stem_feats,
         banks["w3"], banks["b3"], banks["w1"], banks["b1"],
         banks["same_wf"], banks["same_wa"], banks["same_b"],
