@@ -124,6 +124,18 @@ class JointTrainingTrainer(_Trainer):
             if nmn_lib.fast_training_available(nmn_spec)
             else nmn_lib.nmn_forward
         )
+        # Fused Pallas seq2seq fwd+bwd on single-chip TPU (see
+        # question_coding_trainer for the rationale + the mesh restriction).
+        from probnmn_tpu.ops.pallas.seq2seq_train import (
+            fused_tf_loss,
+            fused_training_available,
+        )
+
+        use_fused = (
+            self._mesh is None
+            and fused_training_available(pg_spec)
+            and fused_training_available(qr_spec)
+        )
 
         @jax.jit
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
@@ -133,15 +145,31 @@ class JointTrainingTrainer(_Trainer):
 
             def loss_fn(p):
                 # --- unsupervised subset: sample z, reconstruct x, answer via NMN ---
-                pg_free = seq2seq_forward(
-                    p["program_generator"], pg_spec,
-                    batch["question"], None, "sampling", keys[0], train=True,
-                )
-                z = pg_free["predictions"]
-                qr_rec = seq2seq_forward(
-                    p["question_reconstructor"], qr_spec,
-                    z, batch["question"], "sampling", keys[1], train=True,
-                )
+                if use_fused:
+                    from probnmn_tpu.ops.pallas.seq2seq_decode import (
+                        fused_sampling_forward,
+                    )
+
+                    z = fused_sampling_forward(
+                        jax.lax.stop_gradient(p["program_generator"]), pg_spec,
+                        batch["question"], keys[0],
+                    )["predictions"]
+                    pg_free = {"loss": fused_tf_loss(
+                        p["program_generator"], pg_spec, batch["question"], z, True,
+                    ), "predictions": z}
+                    qr_rec = {"loss": fused_tf_loss(
+                        p["question_reconstructor"], qr_spec, z, batch["question"],
+                    )}
+                else:
+                    pg_free = seq2seq_forward(
+                        p["program_generator"], pg_spec,
+                        batch["question"], None, "sampling", keys[0], train=True,
+                    )
+                    z = pg_free["predictions"]
+                    qr_rec = seq2seq_forward(
+                        p["question_reconstructor"], qr_spec,
+                        z, batch["question"], "sampling", keys[1], train=True,
+                    )
                 nmn_out = nmn_forward(
                     p["nmn"], nmn_spec, image_to_nhwc(batch["image"]), z, batch["answer"]
                 )
@@ -180,14 +208,24 @@ class JointTrainingTrainer(_Trainer):
                 diagnostics.pop("elbo_per_example")
 
                 # --- supervised subset: teacher-forced PG/QR (reference :154-177) ---
-                pg_sup = seq2seq_forward(
-                    p["program_generator"], pg_spec,
-                    batch["question"], batch["program"], "sampling", keys[3], train=True,
-                )
-                qr_sup = seq2seq_forward(
-                    p["question_reconstructor"], qr_spec,
-                    batch["program"], batch["question"], "sampling", keys[4], train=True,
-                )
+                if use_fused:
+                    pg_sup = {"loss": fused_tf_loss(
+                        p["program_generator"], pg_spec,
+                        batch["question"], batch["program"],
+                    )}
+                    qr_sup = {"loss": fused_tf_loss(
+                        p["question_reconstructor"], qr_spec,
+                        batch["program"], batch["question"],
+                    )}
+                else:
+                    pg_sup = seq2seq_forward(
+                        p["program_generator"], pg_spec,
+                        batch["question"], batch["program"], "sampling", keys[3], train=True,
+                    )
+                    qr_sup = seq2seq_forward(
+                        p["question_reconstructor"], qr_spec,
+                        batch["program"], batch["question"], "sampling", keys[4], train=True,
+                    )
                 pg_loss_sup = masked_mean(pg_sup["loss"], sup)
                 qr_loss_sup = masked_mean(qr_sup["loss"], sup)
 

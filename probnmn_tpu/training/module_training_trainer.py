@@ -77,12 +77,26 @@ class ModuleTrainingTrainer(_Trainer):
             else nmn_lib.nmn_forward
         )
 
+        # The generator is frozen here, so sampling needs no gradient: the
+        # fused Pallas sampling kernel serves it on single-chip TPU.
+        from probnmn_tpu.models.seq2seq import (
+            fast_sampling_available,
+            sampling_forward_serving,
+        )
+
+        use_fast_sampling = self._mesh is None and fast_sampling_available(pg_spec)
+
         @jax.jit
         def train_step(params, opt_state, rng, batch, pg_params):
             # Sample programs from the frozen generator (reference :88-98).
-            pg_out = seq2seq_forward(
-                pg_params, pg_spec, batch["question"], None, "sampling", rng
-            )
+            if use_fast_sampling:
+                pg_out = sampling_forward_serving(
+                    pg_params, pg_spec, batch["question"], rng
+                )
+            else:
+                pg_out = seq2seq_forward(
+                    pg_params, pg_spec, batch["question"], None, "sampling", rng
+                )
             programs = jax.lax.stop_gradient(pg_out["predictions"])
 
             image = image_to_nhwc(batch["image"])

@@ -81,6 +81,21 @@ class QuestionCodingTrainer(_Trainer):
         tx = self._tx
         alpha, beta, delta = self._C.ALPHA, self._C.BETA, self._C.DELTA
         objective = self._C.OBJECTIVE
+        # Fused Pallas fwd+BPTT-bwd passes (single-chip TPU): custom-VJP kernels
+        # are opaque to XLA, which avoids the combined-graph backward blowup
+        # (the joint five-pass XLA backward costs ~1.5x the sum of the passes,
+        # PERF.md). Pallas custom calls cannot auto-partition, so the mesh path
+        # keeps the scan implementation.
+        from probnmn_tpu.ops.pallas.seq2seq_train import (
+            fused_tf_loss,
+            fused_training_available,
+        )
+
+        use_fused = (
+            self._mesh is None
+            and fused_training_available(pg_spec)
+            and fused_training_available(qr_spec)
+        )
 
         @jax.jit
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
@@ -89,14 +104,24 @@ class QuestionCodingTrainer(_Trainer):
 
             def loss_fn(p):
                 # Supervised teacher-forced losses (means over the supervised subset).
-                pg_sup = seq2seq_forward(
-                    p["program_generator"], pg_spec,
-                    batch["question"], batch["program"], "sampling", keys[0], train=True,
-                )
-                qr_sup = seq2seq_forward(
-                    p["question_reconstructor"], qr_spec,
-                    batch["program"], batch["question"], "sampling", keys[1], train=True,
-                )
+                if use_fused:
+                    pg_sup = {"loss": fused_tf_loss(
+                        p["program_generator"], pg_spec,
+                        batch["question"], batch["program"],
+                    )}
+                    qr_sup = {"loss": fused_tf_loss(
+                        p["question_reconstructor"], qr_spec,
+                        batch["program"], batch["question"],
+                    )}
+                else:
+                    pg_sup = seq2seq_forward(
+                        p["program_generator"], pg_spec,
+                        batch["question"], batch["program"], "sampling", keys[0], train=True,
+                    )
+                    qr_sup = seq2seq_forward(
+                        p["question_reconstructor"], qr_spec,
+                        batch["program"], batch["question"], "sampling", keys[1], train=True,
+                    )
                 pg_loss_sup = masked_mean(pg_sup["loss"], sup)
                 qr_loss_sup = masked_mean(qr_sup["loss"], sup)
 
@@ -112,15 +137,37 @@ class QuestionCodingTrainer(_Trainer):
 
                 # ELBO over the unsupervised subset: z ~ q(z|x), reconstruct, prior.
                 unsup = 1.0 - sup
-                pg_free = seq2seq_forward(
-                    p["program_generator"], pg_spec,
-                    batch["question"], None, "sampling", keys[2], train=True,
-                )
-                z = pg_free["predictions"]
-                qr_rec = seq2seq_forward(
-                    p["question_reconstructor"], qr_spec,
-                    z, batch["question"], "sampling", keys[3], train=True,
-                )
+                if use_fused:
+                    # Two-pass free-running decode: sample z with the fused
+                    # sampling kernel (sampling is a stop-gradient), then get
+                    # the differentiable length-normalized -log q(z|x) via the
+                    # fused teacher-forced kernel in REINFORCE mode — the same
+                    # gradient the scan path produces at the same z.
+                    from probnmn_tpu.ops.pallas.seq2seq_decode import (
+                        fused_sampling_forward,
+                    )
+
+                    z = fused_sampling_forward(
+                        jax.lax.stop_gradient(p["program_generator"]), pg_spec,
+                        batch["question"], keys[2],
+                    )["predictions"]
+                    pg_free = {"loss": fused_tf_loss(
+                        p["program_generator"], pg_spec,
+                        batch["question"], z, True,
+                    ), "predictions": z}
+                    qr_rec = {"loss": fused_tf_loss(
+                        p["question_reconstructor"], qr_spec, z, batch["question"],
+                    )}
+                else:
+                    pg_free = seq2seq_forward(
+                        p["program_generator"], pg_spec,
+                        batch["question"], None, "sampling", keys[2], train=True,
+                    )
+                    z = pg_free["predictions"]
+                    qr_rec = seq2seq_forward(
+                        p["question_reconstructor"], qr_spec,
+                        z, batch["question"], "sampling", keys[3], train=True,
+                    )
                 prior_out = program_prior_forward(prior_params, prior_spec, z, keys[4])
 
                 logprobs_generation = -pg_free["loss"]
