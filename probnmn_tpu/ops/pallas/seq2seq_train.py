@@ -876,3 +876,503 @@ def _fused_tf_bwd(spec, reinforce_norm, compute_dtype, batch_block, interpret,
 
 
 fused_tf_loss.defvjp(_fused_tf_fwd, _fused_tf_bwd)
+
+
+# ============================================================= LM (ProgramPrior)
+def _lm_common(tok_ref, spec_static, vp):
+    r"""Vectorized token streams for the LM teacher-forced pass.
+
+    The LM consumes the boundary-added sequence [start, tokens, end, pads] and
+    predicts each next token: at step t (0..Lt) the input is position t and the
+    label position t+1 — exactly the TF decoder's (dec_in, dec_label) streams
+    (reference ``program_prior.py:80-155``: ``logits[:, :-1]`` vs
+    ``tokens[:, 1:]``).
+    """
+    (num_layers, hidden, vocab, pad, start, end, compute_dtype) = spec_static
+    _, lt, batch = tok_ref.shape
+    num_steps = lt + 1
+
+    tok = tok_ref[0]
+    lens = jnp.dot(jnp.ones((1, lt), jnp.float32),
+                   (tok != pad).astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (num_steps, batch), 0).astype(jnp.float32)
+    tok_pad = jnp.concatenate([tok, jnp.zeros((1, batch), jnp.int32)], axis=0)
+    with_end = jnp.where(rows < lens, tok_pad,
+                         jnp.where(rows == lens, jnp.int32(end), jnp.int32(pad)))
+    lm_in = jnp.concatenate(
+        [jnp.full((1, batch), start, jnp.int32), with_end[:num_steps - 1]], axis=0
+    )
+    lanes_b = jax.lax.broadcasted_iota(jnp.int32, (batch, vp), 1)
+    return dict(
+        num_steps=num_steps, batch=batch,
+        lm_in=lm_in, lm_label=with_end, lanes_b=lanes_b,
+        lse_blocked=jnp.where(lanes_b >= vocab, NEG_INF, 0.0),
+    )
+
+
+def _lm_forward_kernel(
+    tok_ref,        # (1, Lt, B) int32 raw program tokens
+    emb_ref,        # (Vp, D) — tied input/output embedding
+    emb_t_ref,      # (D, Vp) — its transpose (output-layer matmul operand)
+    proj_ref,       # (H, D) — projection.T (forward layout)
+    *refs,
+    spec_static,
+):
+    (num_layers, hidden, vocab, pad, start, end, compute_dtype) = spec_static
+    L = num_layers
+    enc_wih = refs[:L]
+    enc_whh = refs[L:2 * L]
+    enc_bias = refs[2 * L:3 * L]
+    (loss_out_ref, x_scr, inm_scr, label_scr) = refs[3 * L:]
+
+    c = _lm_common(tok_ref, spec_static, emb_ref.shape[0])
+    num_steps, batch = c["num_steps"], c["batch"]
+    vp = emb_ref.shape[0]
+    dsize = emb_ref.shape[1]
+
+    inm_scr[...] = (c["lm_in"] != pad).astype(jnp.float32)
+    label_scr[...] = c["lm_label"]
+
+    x_all = _embed_rows(c["lm_in"], emb_ref, compute_dtype)
+    x_scr[...] = x_all * (c["lm_in"] != pad).astype(jnp.float32)[:, :, None]
+
+    def step(t, carry):
+        states, num, den = carry[:-2], carry[-2], carry[-1]
+        m = inm_scr[pl.ds(t, 1), :].reshape(batch, 1)
+        x = x_scr[pl.ds(t, 1)].reshape(batch, dsize)
+        new_states = []
+        for layer in range(L):
+            h, cc = states[2 * layer], states[2 * layer + 1]
+            pre = (
+                jnp.dot(x.astype(compute_dtype), enc_wih[layer][:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(h.astype(compute_dtype), enc_whh[layer][:],
+                          preferred_element_type=jnp.float32)
+                + enc_bias[layer][:]
+            )
+            i, f, g, o = _activated(pre, hidden)
+            c_new = f * cc + i * g
+            h_new = o * jnp.tanh(c_new)
+            h = m * h_new + (1.0 - m) * h
+            cc = m * c_new + (1.0 - m) * cc
+            new_states += [h, cc]
+            x = h * m
+        proj_out = jnp.dot(x.astype(compute_dtype), proj_ref[:],
+                           preferred_element_type=jnp.float32)
+        logits = jnp.dot(proj_out.astype(compute_dtype), emb_t_ref[:],
+                         preferred_element_type=jnp.float32)
+        real = logits + c["lse_blocked"]
+        mx = jnp.max(real, axis=-1, keepdims=True)
+        lse = jnp.log(jnp.sum(jnp.exp(real - mx), axis=-1, keepdims=True)) + mx
+        label = label_scr[pl.ds(t, 1), :].reshape(batch, 1)
+        label_oh = (c["lanes_b"] == label).astype(jnp.float32)
+        ce = lse - jnp.sum(label_oh * logits, axis=-1, keepdims=True)
+        m_lbl = (label != pad).astype(jnp.float32)
+        return (*new_states, num + m_lbl * ce, den + m_lbl)
+
+    zeros = jnp.zeros((batch, hidden), jnp.float32)
+    out = jax.lax.fori_loop(
+        0, num_steps, step,
+        (*(zeros for _ in range(2 * L)),
+         jnp.zeros((batch, 1), jnp.float32), jnp.zeros((batch, 1), jnp.float32)),
+    )
+    num, den = out[-2], out[-1]
+    loss_out_ref[0] = num / (den + CE_EPS)
+
+
+def _lm_backward_kernel(
+    tok_ref,        # (1, Lt, B) int32
+    dloss_ref,      # (1, B, 1) f32
+    emb_ref,        # (Vp, D)
+    emb_t_ref,      # (D, Vp)
+    proj_ref,       # (H, D) projection.T
+    proj_fwd_ref,   # (D, H) projection (backward operand)
+    *refs,
+    spec_static,
+):
+    (num_layers, hidden, vocab, pad, start, end, compute_dtype) = spec_static
+    L = num_layers
+    k = 0
+    enc_wih = refs[k:k + L]; k += L
+    enc_whh = refs[k:k + L]; k += L
+    enc_bias = refs[k:k + L]; k += L
+    enc_wih_t = refs[k:k + L]; k += L
+    enc_whh_t = refs[k:k + L]; k += L
+    out_refs = refs[k:k + 3 * L + 2]; k += 3 * L + 2
+    d_emb_ref = out_refs[0]
+    d_enc = out_refs[1:1 + 3 * L]
+    d_proj_ref = out_refs[1 + 3 * L]  # (D, H), torch layout
+    (h_scr,            # (L*T, B, H) f32 post-freeze hidden
+     c_scr,            # (L*T, B, H) f32 post-freeze cell
+     g_scr,            # (L*T, B, 4H) f32 activated gates, then dpre
+     x_scr,            # (T, B, D) f32 embedded inputs (pad-zeroed)
+     top_scr,          # (T, B, H) f32 masked top-layer outputs (logit inputs)
+     dl_scr,           # (T, B, Vp) f32 dlogits trajectory
+     aux_scr,          # (2L*T, B, H) f32 post-sweep matmul operands + dx0
+     inm_scr,          # (T, B) f32 input pad mask
+     label_scr,        # (T, B) int32 labels
+     ) = refs[k:]
+
+    b_idx = pl.program_id(0)
+    c = _lm_common(tok_ref, spec_static, emb_ref.shape[0])
+    num_steps, batch = c["num_steps"], c["batch"]
+    vp = emb_ref.shape[0]
+    dsize = emb_ref.shape[1]
+
+    inm_scr[...] = (c["lm_in"] != pad).astype(jnp.float32)
+    label_scr[...] = c["lm_label"]
+    x0 = _embed_rows(c["lm_in"], emb_ref, compute_dtype)
+    x_scr[...] = x0 * (c["lm_in"] != pad).astype(jnp.float32)[:, :, None]
+
+    # ---------------------------------------------------------- replay
+    def replay(t, carry):
+        states, den = carry[:-1], carry[-1]
+        m = inm_scr[pl.ds(t, 1), :].reshape(batch, 1)
+        x = x_scr[pl.ds(t, 1)].reshape(batch, dsize)
+        new_states = []
+        for layer in range(L):
+            h, cc = states[2 * layer], states[2 * layer + 1]
+            pre = (
+                jnp.dot(x.astype(compute_dtype), enc_wih[layer][:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(h.astype(compute_dtype), enc_whh[layer][:],
+                          preferred_element_type=jnp.float32)
+                + enc_bias[layer][:]
+            )
+            i, f, g, o = _activated(pre, hidden)
+            c_new = f * cc + i * g
+            h_new = o * jnp.tanh(c_new)
+            h = m * h_new + (1.0 - m) * h
+            cc = m * c_new + (1.0 - m) * cc
+            g_scr[pl.ds(layer * num_steps + t, 1)] = jnp.concatenate([i, f, g, o], axis=-1)[None]
+            h_scr[pl.ds(layer * num_steps + t, 1)] = h[None]
+            c_scr[pl.ds(layer * num_steps + t, 1)] = cc[None]
+            new_states += [h, cc]
+            x = h * m
+        top_scr[pl.ds(t, 1)] = x[None]
+        label = label_scr[pl.ds(t, 1), :].reshape(batch, 1)
+        return (*new_states, den + (label != pad).astype(jnp.float32))
+
+    zeros = jnp.zeros((batch, hidden), jnp.float32)
+    out = jax.lax.fori_loop(
+        0, num_steps, replay,
+        (*(zeros for _ in range(2 * L)), jnp.zeros((batch, 1), jnp.float32)),
+    )
+    den = out[-1]
+    dnum = dloss_ref[0] / (den + CE_EPS)
+
+    @pl.when(b_idx == 0)
+    def _():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
+
+    # ------------------------------------------------- dlogits (vectorized)
+    # The output head has no recurrence, so the WHOLE dlogits trajectory is a
+    # pair of big matmuls + a vectorized masked softmax over (T*B, Vp).
+    top_all = top_scr[:].reshape(num_steps * batch, hidden)
+    proj_all = jnp.dot(top_all.astype(compute_dtype), proj_ref[:],
+                       preferred_element_type=jnp.float32)          # (T*B, D)
+    logits_all = jnp.dot(proj_all.astype(compute_dtype), emb_t_ref[:],
+                         preferred_element_type=jnp.float32)        # (T*B, Vp)
+    real = logits_all + jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (num_steps * batch, vp), 1) >= vocab,
+        NEG_INF, 0.0,
+    )
+    mx = jnp.max(real, axis=-1, keepdims=True)
+    e = jnp.exp(real - mx)
+    soft = e / jnp.sum(e, axis=-1, keepdims=True)
+    label_oh_all = (c["lm_label"][:, :, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (num_steps, batch, vp), 2)
+                    ).astype(jnp.float32).reshape(num_steps * batch, vp)
+    m_all = (c["lm_label"] != pad).astype(jnp.float32)[:, :, None]
+    dnum_all = (jnp.broadcast_to(dnum[None], (num_steps, batch, 1)) * m_all
+                ).reshape(num_steps * batch, 1)
+    dlog_all = dnum_all * (soft - label_oh_all)
+    dl_scr[...] = dlog_all.reshape(num_steps, batch, vp)
+    dproj_out_all = jnp.dot(dlog_all.astype(compute_dtype), emb_ref[:],
+                            preferred_element_type=jnp.float32)     # (T*B, D)
+    d_emb_ref[...] += _contract_steps(dlog_all, proj_all)           # tied: output side
+    d_proj_ref[...] += _contract_steps(dproj_out_all, top_all)      # (D, H)
+    dtop_all = jnp.dot(dproj_out_all.astype(compute_dtype), proj_fwd_ref[:],
+                       preferred_element_type=jnp.float32)          # (T*B, H)
+    # Stash per-step dtop in the dlogits scratch's place? It has width Vp; use
+    # aux rows [ (2L-1)*T : 2L*T ) temporarily for dtop.
+    aux_scr[pl.ds((2 * L - 1) * num_steps, num_steps)] = dtop_all.reshape(
+        num_steps, batch, hidden
+    )
+
+    # ------------------------------------------------- reverse sweep
+    def bwd(sweep, carry):
+        t = num_steps - 1 - sweep
+        dstates = list(carry)
+        m = inm_scr[pl.ds(t, 1), :].reshape(batch, 1)
+        dtop = aux_scr[pl.ds((2 * L - 1) * num_steps + t, 1)].reshape(batch, hidden)
+
+        dx_from_above = None
+        for layer in reversed(range(L)):
+            row = layer * num_steps + t
+            c_post = c_scr[pl.ds(row, 1)].reshape(batch, hidden)
+            c_prev = jnp.where(
+                t == 0, jnp.zeros((batch, hidden), jnp.float32),
+                c_scr[pl.ds(jnp.maximum(row - 1, 0), 1)].reshape(batch, hidden),
+            )
+            gates = g_scr[pl.ds(row, 1)].reshape(batch, 4 * hidden)
+            i, f, g, o = _split_gates(gates, hidden)
+
+            dh = dstates[2 * layer]
+            dc = dstates[2 * layer + 1]
+            if layer == L - 1:
+                dh = dh + dtop * m
+            if dx_from_above is not None:
+                dh = dh + dx_from_above * m
+
+            dh_new = dh * m
+            dc_new = dc * m
+            dh_carry = dh * (1.0 - m)
+            dc_carry = dc * (1.0 - m)
+
+            tc = jnp.tanh(c_post)
+            do = dh_new * tc
+            dc_new = dc_new + dh_new * o * (1.0 - tc * tc)
+            di = dc_new * g
+            df = dc_new * c_prev
+            dg = dc_new * i
+            dpre = jnp.concatenate(
+                [di * i * (1.0 - i), df * f * (1.0 - f),
+                 dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1,
+            )
+            g_scr[pl.ds(row, 1)] = dpre[None]
+            dx_l = jnp.dot(dpre.astype(compute_dtype), enc_wih_t[layer][:],
+                           preferred_element_type=jnp.float32)
+            dstates[2 * layer] = dh_carry + jnp.dot(
+                dpre.astype(compute_dtype), enc_whh_t[layer][:],
+                preferred_element_type=jnp.float32,
+            )
+            dstates[2 * layer + 1] = dc_carry + dc_new * f
+            dx_from_above = dx_l
+
+        aux_scr[pl.ds((2 * L - 1) * num_steps + t, 1)] = (dx_from_above * m)[None]
+        return tuple(dstates)
+
+    jax.lax.fori_loop(0, num_steps, bwd,
+                      tuple(jnp.zeros((batch, hidden), jnp.float32)
+                            for _ in range(2 * L)))
+
+    # --------------------------------------- weight grads as big matmuls
+    for layer in range(1, L):
+        lower = h_scr[pl.ds((layer - 1) * num_steps, num_steps)]
+        aux_scr[pl.ds((layer - 1) * num_steps, num_steps)] = (
+            lower * inm_scr[:][:, :, None]
+        )
+    for layer in range(L):
+        base = (L - 1 + layer) * num_steps
+        aux_scr[pl.ds(base, 1)] = jnp.zeros((1, batch, hidden), jnp.float32)
+        aux_scr[pl.ds(base + 1, num_steps - 1)] = h_scr[pl.ds(layer * num_steps, num_steps - 1)]
+    for layer in range(L):
+        dpre_l = g_scr[pl.ds(layer * num_steps, num_steps)].reshape(
+            num_steps * batch, 4 * hidden
+        )
+        if layer == 0:
+            x_l = x_scr[:].reshape(num_steps * batch, dsize)
+        else:
+            x_l = aux_scr[pl.ds((layer - 1) * num_steps, num_steps)].reshape(
+                num_steps * batch, hidden
+            )
+        h_prev_l = aux_scr[pl.ds((L - 1 + layer) * num_steps, num_steps)].reshape(
+            num_steps * batch, hidden
+        )
+        d_enc[3 * layer][...] += _contract_steps(dpre_l, x_l)
+        d_enc[3 * layer + 1][...] += _contract_steps(dpre_l, h_prev_l)
+        d_enc[3 * layer + 2][...] += _ones_row_sum(dpre_l)
+
+    # Tied embedding, input side: dE += oh^T (dx0 * m).
+    dx0_all = aux_scr[pl.ds((2 * L - 1) * num_steps, num_steps)].reshape(
+        num_steps * batch, hidden
+    )
+    oh = (c["lm_in"][:, :, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (num_steps, batch, vp), 2)
+          ).astype(compute_dtype).reshape(num_steps * batch, vp)
+    d_emb_ref[...] += _contract_steps(oh, dx0_all.astype(compute_dtype))
+
+
+def fused_lm_available(spec) -> bool:
+    r"""ProgramPrior fused fwd+bwd: TPU, lane-aligned, no dropout, tied dims."""
+    return (
+        jax.default_backend() == "tpu"
+        and spec.hidden_size % LANE == 0
+        and spec.input_size == spec.hidden_size
+        and spec.dropout == 0.0
+        and spec.num_layers <= 2
+    )
+
+
+def _lm_pack(params, spec, compute_dtype):
+    vp = _round_up(spec.vocab_size, LANE)
+    emb = jnp.pad(params["embedding"], ((0, vp - params["embedding"].shape[0]), (0, 0)))
+    return dict(
+        emb=emb.astype(compute_dtype),
+        emb_t=emb.T.astype(compute_dtype),
+        proj=params["projection"].T.astype(compute_dtype),   # (H, D)
+        proj_fwd=params["projection"].astype(compute_dtype), # (D, H)
+        enc_wih=[p["w_ih"].T.astype(compute_dtype) for p in params["encoder"]],
+        enc_whh=[p["w_hh"].T.astype(compute_dtype) for p in params["encoder"]],
+        enc_bias=[(p["b_ih"] + p["b_hh"])[None].astype(jnp.float32)
+                  for p in params["encoder"]],
+        enc_wih_t=[p["w_ih"].astype(compute_dtype) for p in params["encoder"]],
+        enc_whh_t=[p["w_hh"].astype(compute_dtype) for p in params["encoder"]],
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+def fused_lm_loss(
+    params: Dict[str, Any],
+    spec,
+    program_tokens: jax.Array,
+    compute_dtype=jnp.float32,
+    batch_block: int = BATCH_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    r"""Per-example ProgramPrior LM cross entropy, fused fwd + fused BPTT bwd.
+
+    Matches ``program_prior_forward(params, spec, tokens, rng)["loss"]``
+    exactly (the rng affects only the qualitative "predictions" sampling,
+    never the loss). Differentiable wrt ``params``; tied-embedding gradients
+    accumulate both the output-layer and input-lookup contributions.
+    """
+    return _lm_forward_impl(params, spec, program_tokens,
+                            compute_dtype, batch_block, interpret)
+
+
+def _lm_forward_impl(params, spec, tokens, compute_dtype, batch_block, interpret):
+    batch = tokens.shape[0]
+    packed = _lm_pack(params, spec, compute_dtype)
+    bb = min(batch_block, batch)
+    padded = _round_up(batch, bb)
+    tok_t = _block_tokens(tokens, bb, padded)
+    grid = (padded // bb,)
+    lt = tok_t.shape[1]
+    num_steps = lt + 1
+    H = spec.hidden_size
+
+    spec_static = (spec.num_layers, H, spec.vocab_size,
+                   spec.pad_index, spec.start_index, spec.end_index, compute_dtype)
+    in_specs = [
+        pl.BlockSpec((1, lt, bb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        _fixed_spec(packed["emb"].shape),
+        _fixed_spec(packed["emb_t"].shape),
+        _fixed_spec(packed["proj"].shape),
+        *[_fixed_spec(w.shape) for w in packed["enc_wih"]],
+        *[_fixed_spec(w.shape) for w in packed["enc_whh"]],
+        *[_fixed_spec(b.shape) for b in packed["enc_bias"]],
+    ]
+    loss = pl.pallas_call(
+        partial(_lm_forward_kernel, spec_static=spec_static),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, bb, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((padded // bb, bb, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((num_steps, bb, spec.input_size), jnp.float32),
+            pltpu.VMEM((num_steps, bb), jnp.float32),
+            pltpu.VMEM((num_steps, bb), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        tok_t, packed["emb"], packed["emb_t"], packed["proj"],
+        *packed["enc_wih"], *packed["enc_whh"], *packed["enc_bias"],
+    )[0]
+    return loss.reshape(padded)[:batch]
+
+
+def _fused_lm_fwd(params, spec, tokens, compute_dtype, batch_block, interpret):
+    loss = _lm_forward_impl(params, spec, tokens, compute_dtype, batch_block, interpret)
+    return loss, (params, tokens)
+
+
+def _fused_lm_bwd(spec, compute_dtype, batch_block, interpret, residuals, dloss):
+    params, tokens = residuals
+    batch = tokens.shape[0]
+    packed = _lm_pack(params, spec, compute_dtype)
+    bb = min(batch_block, batch)
+    padded = _round_up(batch, bb)
+    tok_t = _block_tokens(tokens, bb, padded)
+    dloss_col = dloss.astype(jnp.float32)
+    if padded != batch:
+        dloss_col = jnp.pad(dloss_col, (0, padded - batch))
+    dloss_col = dloss_col.reshape(padded // bb, bb, 1)
+    grid = (padded // bb,)
+    lt = tok_t.shape[1]
+    num_steps = lt + 1
+    H, D, L = spec.hidden_size, spec.input_size, spec.num_layers
+    vp = packed["emb"].shape[0]
+
+    spec_static = (L, H, spec.vocab_size,
+                   spec.pad_index, spec.start_index, spec.end_index, compute_dtype)
+    in_specs = [
+        pl.BlockSpec((1, lt, bb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        _fixed_spec(packed["emb"].shape),
+        _fixed_spec(packed["emb_t"].shape),
+        _fixed_spec(packed["proj"].shape),
+        _fixed_spec(packed["proj_fwd"].shape),
+        *[_fixed_spec(w.shape) for w in packed["enc_wih"]],
+        *[_fixed_spec(w.shape) for w in packed["enc_whh"]],
+        *[_fixed_spec(b.shape) for b in packed["enc_bias"]],
+        *[_fixed_spec(w.shape) for w in packed["enc_wih_t"]],
+        *[_fixed_spec(w.shape) for w in packed["enc_whh_t"]],
+    ]
+    out_shape = [jax.ShapeDtypeStruct((vp, D), jnp.float32)]
+    for layer in range(L):
+        din = D if layer == 0 else H
+        out_shape += [
+            jax.ShapeDtypeStruct((4 * H, din), jnp.float32),
+            jax.ShapeDtypeStruct((4 * H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
+        ]
+    out_shape += [jax.ShapeDtypeStruct((D, H), jnp.float32)]
+    out_specs = [_fixed_spec(o.shape) for o in out_shape]
+
+    scratch = [
+        pltpu.VMEM((L * num_steps, bb, H), jnp.float32),
+        pltpu.VMEM((L * num_steps, bb, H), jnp.float32),
+        pltpu.VMEM((L * num_steps, bb, 4 * H), jnp.float32),
+        pltpu.VMEM((num_steps, bb, D), jnp.float32),
+        pltpu.VMEM((num_steps, bb, H), jnp.float32),
+        pltpu.VMEM((num_steps, bb, vp), jnp.float32),
+        pltpu.VMEM((2 * L * num_steps, bb, H), jnp.float32),
+        pltpu.VMEM((num_steps, bb), jnp.float32),
+        pltpu.VMEM((num_steps, bb), jnp.int32),
+    ]
+    grads_flat = pl.pallas_call(
+        partial(_lm_backward_kernel, spec_static=spec_static),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        tok_t, dloss_col, packed["emb"], packed["emb_t"],
+        packed["proj"], packed["proj_fwd"],
+        *packed["enc_wih"], *packed["enc_whh"], *packed["enc_bias"],
+        *packed["enc_wih_t"], *packed["enc_whh_t"],
+    )
+    d_emb = grads_flat[0]
+    enc_grads = []
+    for layer in range(L):
+        d_wih, d_whh, d_b = grads_flat[1 + 3 * layer: 4 + 3 * layer]
+        enc_grads.append({
+            "w_ih": d_wih, "w_hh": d_whh, "b_ih": d_b[0], "b_hh": d_b[0],
+        })
+    grads = {
+        "embedding": d_emb[:params["embedding"].shape[0]],
+        "encoder": enc_grads,
+        "projection": grads_flat[1 + 3 * L],
+    }
+    return grads, None
+
+
+fused_lm_loss.defvjp(_fused_lm_fwd, _fused_lm_bwd)

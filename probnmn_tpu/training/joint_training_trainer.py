@@ -127,6 +127,8 @@ class JointTrainingTrainer(_Trainer):
         # Fused Pallas seq2seq fwd+bwd on single-chip TPU (see
         # question_coding_trainer for the rationale + the mesh restriction).
         from probnmn_tpu.ops.pallas.seq2seq_train import (
+            fused_lm_available,
+            fused_lm_loss,
             fused_tf_loss,
             fused_training_available,
         )
@@ -135,6 +137,7 @@ class JointTrainingTrainer(_Trainer):
             self._mesh is None
             and fused_training_available(pg_spec)
             and fused_training_available(qr_spec)
+            and fused_lm_available(prior_spec)
         )
 
         @jax.jit
@@ -194,7 +197,13 @@ class JointTrainingTrainer(_Trainer):
                     return total, (new_baseline, logs)
 
                 logprobs_reconstruction = -qr_rec["loss"]
-                prior_out = program_prior_forward(prior_params, prior_spec, z, keys[2])
+                if use_fused:
+                    # Frozen prior: fused LM forward (rng-independent loss).
+                    prior_out = {"loss": fused_lm_loss(prior_params, prior_spec, z)}
+                else:
+                    prior_out = program_prior_forward(
+                        prior_params, prior_spec, z, keys[2]
+                    )
                 logprobs_prior = -prior_out["loss"]
                 reward = joint_training_reward(
                     logprobs_reconstruction, logprobs_generation, logprobs_prior,

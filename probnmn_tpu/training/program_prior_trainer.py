@@ -61,10 +61,20 @@ class ProgramPriorTrainer(_Trainer):
 
     def _build_step_fn(self):
         spec, tx = self.spec, self._tx
+        # Fused Pallas LM fwd+BPTT-bwd on single-chip TPU; the loss is
+        # rng-independent (sampling only feeds qualitative predictions).
+        from probnmn_tpu.ops.pallas.seq2seq_train import (
+            fused_lm_available,
+            fused_lm_loss,
+        )
+
+        use_fused = self._mesh is None and fused_lm_available(spec)
 
         @jax.jit
         def train_step(params, opt_state, rng, batch):
             def loss_fn(p):
+                if use_fused:
+                    return fused_lm_loss(p["program_prior"], spec, batch["program"]).mean()
                 out = program_prior_forward(p["program_prior"], spec, batch["program"], rng, train=True)
                 return out["loss"].mean()
 

@@ -87,6 +87,8 @@ class QuestionCodingTrainer(_Trainer):
         # PERF.md). Pallas custom calls cannot auto-partition, so the mesh path
         # keeps the scan implementation.
         from probnmn_tpu.ops.pallas.seq2seq_train import (
+            fused_lm_available,
+            fused_lm_loss,
             fused_tf_loss,
             fused_training_available,
         )
@@ -95,6 +97,7 @@ class QuestionCodingTrainer(_Trainer):
             self._mesh is None
             and fused_training_available(pg_spec)
             and fused_training_available(qr_spec)
+            and fused_lm_available(prior_spec)
         )
 
         @jax.jit
@@ -158,6 +161,9 @@ class QuestionCodingTrainer(_Trainer):
                     qr_rec = {"loss": fused_tf_loss(
                         p["question_reconstructor"], qr_spec, z, batch["question"],
                     )}
+                    # Frozen prior: fused LM forward (loss is rng-independent;
+                    # the prior's logprobs only enter the detached reward).
+                    prior_out = {"loss": fused_lm_loss(prior_params, prior_spec, z)}
                 else:
                     pg_free = seq2seq_forward(
                         p["program_generator"], pg_spec,
@@ -168,7 +174,9 @@ class QuestionCodingTrainer(_Trainer):
                         p["question_reconstructor"], qr_spec,
                         z, batch["question"], "sampling", keys[3], train=True,
                     )
-                prior_out = program_prior_forward(prior_params, prior_spec, z, keys[4])
+                    prior_out = program_prior_forward(
+                        prior_params, prior_spec, z, keys[4]
+                    )
 
                 logprobs_generation = -pg_free["loss"]
                 logprobs_reconstruction = -qr_rec["loss"]

@@ -110,3 +110,58 @@ def test_all_pad_target_row_is_harmless():
     )(params)
     for _, leaf in jax.tree_util.tree_flatten_with_path(gk)[0]:
         assert bool(jnp.isfinite(leaf).all())
+
+
+# ------------------------------------------------------------------ LM mode --
+from probnmn_tpu.models.program_prior import (  # noqa: E402
+    ProgramPriorSpec,
+    init_program_prior_params,
+    program_prior_forward,
+)
+from probnmn_tpu.ops.pallas.seq2seq_train import fused_lm_loss  # noqa: E402
+
+LM_SPEC = ProgramPriorSpec(vocab_size=50)
+
+
+def _lm_batch(seed, batch=12, length=26):
+    rs = np.random.RandomState(seed)
+    tok = rs.randint(4, LM_SPEC.vocab_size, (batch, length)).astype(np.int32)
+    tok *= np.arange(length)[None, :] < rs.randint(2, length, (batch,))[:, None]
+    tok[0] = rs.randint(4, LM_SPEC.vocab_size, (length,))  # full-length row
+    return jnp.asarray(tok)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lm_loss_and_grads_match_xla(seed):
+    r"""``fused_lm_loss`` must reproduce ``program_prior_forward``'s loss and
+    every gradient leaf — including the TIED embedding's summed output-layer +
+    input-lookup contributions (reference program_prior.py:60-62)."""
+    params = init_program_prior_params(jax.random.PRNGKey(seed), LM_SPEC)
+    tok = _lm_batch(seed)
+    loss_k = fused_lm_loss(params, LM_SPEC, tok, jnp.float32, 4, True)
+    out_x = program_prior_forward(params, LM_SPEC, tok, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(loss_k, out_x["loss"], atol=1e-5)
+
+    gk = jax.grad(
+        lambda p: fused_lm_loss(p, LM_SPEC, tok, jnp.float32, 4, True).mean()
+    )(params)
+    gx = jax.grad(
+        lambda p: program_prior_forward(p, LM_SPEC, tok, jax.random.PRNGKey(0))[
+            "loss"
+        ].mean()
+    )(params)
+    _grad_trees_match(gk, gx)
+
+
+def test_lm_weighted_cotangents():
+    params = init_program_prior_params(jax.random.PRNGKey(2), LM_SPEC)
+    tok = _lm_batch(2)
+    w = jnp.asarray(np.random.RandomState(9).rand(tok.shape[0]).astype(np.float32))
+    gk = jax.grad(
+        lambda p: (w * fused_lm_loss(p, LM_SPEC, tok, jnp.float32, 4, True)).sum()
+    )(params)
+    gx = jax.grad(
+        lambda p: (w * program_prior_forward(
+            p, LM_SPEC, tok, jax.random.PRNGKey(0))["loss"]).sum()
+    )(params)
+    _grad_trees_match(gk, gx)
