@@ -18,10 +18,12 @@ This kernel executes each example's program *exactly*:
   weights are DMA'd by slot index into a VMEM double buffer (next layer's DMA
   overlaps the current layer's matmul). All small banks (1x1 heads, compare
   projections, biases) are VMEM-resident and indexed directly;
-- a 3x3 conv at STATIC dilation d is an in-VMEM im2col (9 shifted window copies
-  from a padded buffer) followed by ONE (196, 1152) x (1152, 128) MXU matmul
-  (Mosaic requires constant sublane offsets, so chains are straight-line per
-  kind with a static dilation schedule);
+- a 3x3 conv at STATIC dilation d keeps the image as a row-pitched flat VALUE
+  (16-wide pitch for d=1 chains, 32-wide for relate's dilations, pad columns
+  between rows) so each tap is a STATIC contiguous slice streamed straight to
+  the MXU as one of 9 accumulating (slice, C) x (C, C) dots — no im2col patch
+  materialization (which cost ~2/3 of the old 2.0 µs/conv; now 0.48 µs).
+  Chains are straight-line per kind with a static dilation schedule;
 - the tag/dispatch machine is pure scalar SMEM math and the scene/and/or
   register updates are unpredicated vector selects — conditional regions are
   expensive on TPU, so ALL module compute sits behind a single outer
@@ -217,9 +219,7 @@ def _interpreter_kernel(
     out_reg,         # (H*W, C) VMEM
     saved_reg,       # (H*W, C) VMEM
     acc,             # (H*W, C) f32 VMEM accumulator
-    pad_buf,         # (H + 16, W + 16, C) VMEM padded input for shifted matmuls
     w3_buf,          # (2, 9C, C) VMEM weight double buffer
-    patches,         # (H*W, 9C) VMEM im2col buffer
     tag_ref,         # (4,) SMEM: out_tag, saved_tag, invalid
     sems,            # DMA semaphores (2,)
 ):
@@ -231,11 +231,9 @@ def _interpreter_kernel(
 
     x = x_ref[0].reshape(HW, C)
 
-    # init registers: out = stem features (FEAT), saved empty. The pad frame of
-    # pad_buf is zeroed once; convs only overwrite the interior.
+    # init registers: out = stem features (FEAT), saved empty.
     out_reg[...] = x
     saved_reg[...] = jnp.zeros_like(saved_reg)
-    pad_buf[...] = jnp.zeros_like(pad_buf)
     tag_ref[0] = TAG_FEAT
     tag_ref[1] = TAG_NONE
     tag_ref[2] = 0  # invalid
@@ -246,24 +244,64 @@ def _interpreter_kernel(
     def wait_w3(slot, buf):
         pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
 
-    def conv3x3_from_buf(inp, buf, bias_slot, dilation: int):
-        r"""In-VMEM im2col (9 shifted window copies) + ONE (HW, 9C) x (9C, C)
-        MXU matmul; STATIC dilation (Mosaic constant-offset requirement)."""
+    # --- flat-layout 3x3 convs -------------------------------------------
+    # The image lives as a VALUE in a row-pitched flat layout (pad columns
+    # between rows), so every 3x3 tap is a STATIC contiguous slice fed
+    # straight to the MXU as one of 9 accumulating dots — no im2col patch
+    # materialization (measured 2.0 -> 0.48 us per d=1 conv; the strided
+    # patch copies were ~2/3 of the old conv). d=1 chains use a 16-wide
+    # pitch with 1-pixel pads; relate's dilated chain (d up to 8) a 32-wide
+    # pitch with 8-pixel pads. Pad positions are zeroed after every layer,
+    # which reproduces exact zero-padding semantics.
+    def _geom(pitch, pad):
+        rows = H + 2 * pad + (1 if pitch == 16 else 1)
+        base = pad * pitch + pad
+        span = (W - 1) + (H - 1) * pitch + 1
+        sl = ((span + 7) // 8) * 8
+        rows = max(rows, -(-(base + (pad * pitch + pad) + sl) // pitch))
+        flat = rows * pitch
+        # validity mask over the sl-row output window, built from in-kernel
+        # iota (Pallas kernels cannot capture host array constants)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (sl, 1), 0) + base
+        r, cc = idx // pitch, idx % pitch
+        valid = ((r >= pad) & (r < pad + H) & (cc >= pad) & (cc < pad + W)
+                 ).astype(jnp.float32)
+        return dict(pitch=pitch, pad=pad, base=base, sl=sl, flat=flat, valid=valid)
+
+    G1 = _geom(16, 1)    # flat 272,  slice 224
+    G8 = _geom(32, 8)    # flat 992,  slice 432
+
+    def to_flat(compact_f32, g):
+        img = compact_f32.reshape(H, W, C)
+        img = jnp.pad(img, ((g["pad"], g["flat"] // g["pitch"] - H - g["pad"]),
+                            (g["pad"], g["pitch"] - W - g["pad"]), (0, 0)))
+        return img.reshape(g["flat"], C)
+
+    def refold(out_sl_f32, g):
+        r"""(sl, C) conv output -> next layer's flat input (pads re-zeroed)."""
+        clean = out_sl_f32 * g["valid"]
+        return jnp.pad(clean, ((g["base"], g["flat"] - g["base"] - g["sl"]), (0, 0)))
+
+    def compact(out_sl_f32, g):
+        full = jnp.pad(out_sl_f32 * g["valid"],
+                       ((g["base"], g["flat"] - g["base"] - g["sl"]), (0, 0)))
+        img = full.reshape(g["flat"] // g["pitch"], g["pitch"], C)
+        return img[g["pad"]:g["pad"] + H, g["pad"]:g["pad"] + W, :].reshape(HW, C)
+
+    def conv3x3_flat(flat_bf16, buf, bias_slot, dilation: int, g):
         d = dilation
-        pad_buf[8:8 + H, 8:8 + W, :] = inp.reshape(H, W, C)
+        tot = jnp.zeros((g["sl"], C), jnp.float32)
         for ky in range(3):
             for kx in range(3):
-                oy = 8 + (ky - 1) * d
-                ox = 8 + (kx - 1) * d
+                start = g["base"] + (ky - 1) * d * g["pitch"] + (kx - 1) * d
                 k = ky * 3 + kx
-                patches[:, k * C:(k + 1) * C] = (
-                    pad_buf[oy:oy + H, ox:ox + W, :].reshape(HW, C)
+                tot = tot + jnp.dot(
+                    flat_bf16[start:start + g["sl"], :],
+                    w3_buf[buf, k * C:(k + 1) * C, :],
+                    preferred_element_type=jnp.float32,
                 )
-        total = jnp.dot(
-            patches[...], w3_buf[buf], preferred_element_type=jnp.float32
-        )
         bias = b3_ref[bias_slot][0:1, :C].astype(jnp.float32)  # (1, C)
-        return total + bias
+        return tot + bias
 
     def run_token(t, _):
         tok = tokens_ref[b, t]
@@ -328,16 +366,19 @@ def _interpreter_kernel(
             def _():
                 # straight-line 5-layer dilated chain + sigmoid head
                 start_w3(slot3_ref[tok, 0], 0)
-                acc[...] = (x * out_reg[...]).astype(jnp.float32)
+                flat = to_flat((x * out_reg[...]).astype(jnp.float32), G8).astype(dtype)
+                res = None
                 for l, dil in enumerate((1, 2, 4, 8, 1)):
                     cur, nxt = l % 2, (l + 1) % 2
                     if l + 1 < 5:
                         start_w3(slot3_ref[tok, l + 1], nxt)
                     wait_w3(slot3_ref[tok, l], cur)
-                    result = conv3x3_from_buf(
-                        acc[...].astype(dtype), cur, slot3_ref[tok, l], dil
+                    res = jnp.maximum(
+                        conv3x3_flat(flat, cur, slot3_ref[tok, l], dil, G8), 0.0
                     )
-                    acc[...] = jnp.maximum(result, 0.0)
+                    if l + 1 < 5:
+                        flat = refold(res, G8).astype(dtype)
+                acc[...] = compact(res, G8)
                 hs = head_slot_ref[tok]
                 head = jnp.dot(
                     acc[...].astype(dtype), w1_ref[hs],
@@ -350,16 +391,19 @@ def _interpreter_kernel(
             def _():
                 # attention/query: straight-line 2-layer chain
                 start_w3(slot3_ref[tok, 0], 0)
-                acc[...] = (x * out_reg[...]).astype(jnp.float32)
+                flat = to_flat((x * out_reg[...]).astype(jnp.float32), G1).astype(dtype)
+                res = None
                 for l in range(2):
                     cur, nxt = l % 2, (l + 1) % 2
                     if l + 1 < 2:
                         start_w3(slot3_ref[tok, l + 1], nxt)
                     wait_w3(slot3_ref[tok, l], cur)
-                    result = conv3x3_from_buf(
-                        acc[...].astype(dtype), cur, slot3_ref[tok, l], 1
+                    res = jnp.maximum(
+                        conv3x3_flat(flat, cur, slot3_ref[tok, l], 1, G1), 0.0
                     )
-                    acc[...] = jnp.maximum(result, 0.0)
+                    if l + 1 < 2:
+                        flat = refold(res, G1).astype(dtype)
+                acc[...] = compact(res, G1)
 
                 @pl.when(has_head)  # attention: 1x1 -> sigmoid -> attn
                 def _():
@@ -385,17 +429,19 @@ def _interpreter_kernel(
                     + jnp.dot(saved_reg[...], wc[C:], preferred_element_type=jnp.float32)
                     + bcmp_ref[cs][0:1, :C].astype(jnp.float32)
                 )
-                acc[...] = jnp.maximum(proj, 0.0)
+                flat = to_flat(jnp.maximum(proj, 0.0), G1).astype(dtype)
+                res = None
                 for l in range(2):
                     cur, nxt = l % 2, (l + 1) % 2
                     if l + 1 < 2:
                         start_w3(slot3_ref[tok, l + 1], nxt)
                     wait_w3(slot3_ref[tok, l], cur)
-                    result = conv3x3_from_buf(
-                        acc[...].astype(dtype), cur, slot3_ref[tok, l], 1
+                    res = jnp.maximum(
+                        conv3x3_flat(flat, cur, slot3_ref[tok, l], 1, G1), 0.0
                     )
-                    acc[...] = jnp.maximum(result, 0.0)
-                out_reg[...] = acc[...].astype(dtype)
+                    if l + 1 < 2:
+                        flat = refold(res, G1).astype(dtype)
+                out_reg[...] = compact(res, G1).astype(dtype)
 
             @pl.when(do_same)
             def _():
@@ -475,9 +521,7 @@ def execute_programs_pallas(
             pltpu.VMEM((H * W, C), stem_feats.dtype),            # out_reg
             pltpu.VMEM((H * W, C), stem_feats.dtype),            # saved_reg
             pltpu.VMEM((H * W, C), jnp.float32),                 # acc
-            pltpu.VMEM((H + 16, W + 16, C), stem_feats.dtype),   # pad_buf
             pltpu.VMEM((2, 9 * C, C), banks["w3"].dtype),        # w3 double buffer
-            pltpu.VMEM((H * W, 9 * C), stem_feats.dtype),        # im2col patches
             pltpu.SMEM((4,), jnp.int32),                         # tags
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -4,7 +4,6 @@ Phase 1 trainer: ProgramPrior LSTM LM over CLEVR programs
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

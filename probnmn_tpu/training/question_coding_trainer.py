@@ -13,7 +13,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from probnmn_tpu.config import Config
