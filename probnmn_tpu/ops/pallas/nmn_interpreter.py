@@ -67,6 +67,72 @@ from probnmn_tpu.models.nmn import (
 MAX_CHAIN = 5  # relate has 5 3x3 convs; attention/query/compare use 2
 
 
+def _flat_conv_helpers(H, W, C):
+    r"""Flat-layout 3x3 conv machinery shared by the forward and backward
+    kernels.
+
+    The image lives as a VALUE in a row-pitched flat layout (pad columns
+    between rows), so every 3x3 tap is a STATIC contiguous slice fed straight
+    to the MXU as one of 9 accumulating dots — no im2col patch materialization
+    (the strided patch copies were ~2/3 of the old 2.0 µs/conv; now
+    0.48 µs/conv). d=1 chains use a 16-wide pitch with 1-pixel pads; relate's
+    dilated chain (d up to 8) a 32-wide pitch with 8-pixel pads. Pad positions
+    are re-zeroed after every layer, reproducing exact zero-padding semantics.
+    """
+    HW = H * W
+
+    def _geom(pitch, pad):
+        rows = H + 2 * pad + 1
+        base = pad * pitch + pad
+        span = (W - 1) + (H - 1) * pitch + 1
+        sl = ((span + 7) // 8) * 8
+        rows = max(rows, -(-(base + (pad * pitch + pad) + sl) // pitch))
+        flat = rows * pitch
+        # validity mask over the sl-row output window, built from in-kernel
+        # iota (Pallas kernels cannot capture host array constants)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (sl, 1), 0) + base
+        r, cc = idx // pitch, idx % pitch
+        valid = ((r >= pad) & (r < pad + H) & (cc >= pad) & (cc < pad + W)
+                 ).astype(jnp.float32)
+        return dict(pitch=pitch, pad=pad, base=base, sl=sl, flat=flat, valid=valid)
+
+    def to_flat(compact_f32, g):
+        img = compact_f32.reshape(H, W, C)
+        img = jnp.pad(img, ((g["pad"], g["flat"] // g["pitch"] - H - g["pad"]),
+                            (g["pad"], g["pitch"] - W - g["pad"]), (0, 0)))
+        return img.reshape(g["flat"], C)
+
+    def refold(out_sl_f32, g):
+        r"""(sl, C) conv output -> next layer's flat input (pads re-zeroed)."""
+        clean = out_sl_f32 * g["valid"]
+        return jnp.pad(clean, ((g["base"], g["flat"] - g["base"] - g["sl"]), (0, 0)))
+
+    def compact(out_sl_f32, g):
+        full = jnp.pad(out_sl_f32 * g["valid"],
+                       ((g["base"], g["flat"] - g["base"] - g["sl"]), (0, 0)))
+        img = full.reshape(g["flat"] // g["pitch"], g["pitch"], C)
+        return img[g["pad"]:g["pad"] + H, g["pad"]:g["pad"] + W, :].reshape(HW, C)
+
+    def conv(flat_vals, w3_buf, buf, dilation: int, g):
+        r"""Bias-free 3x3 conv: 9 accumulating dots over static tap slices of
+        ``flat_vals`` against the (9C, C) weight rows in ``w3_buf[buf]``."""
+        d = dilation
+        tot = jnp.zeros((g["sl"], C), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                start = g["base"] + (ky - 1) * d * g["pitch"] + (kx - 1) * d
+                k = ky * 3 + kx
+                tot = tot + jnp.dot(
+                    flat_vals[start:start + g["sl"], :],
+                    w3_buf[buf, k * C:(k + 1) * C, :],
+                    preferred_element_type=jnp.float32,
+                )
+        return tot
+
+    return dict(G1=_geom(16, 1), G8=_geom(32, 8), to_flat=to_flat,
+                refold=refold, compact=compact, conv=conv)
+
+
 # ------------------------------------------------------------------ host tables -------
 def build_tables(spec: NMNSpec) -> Dict[str, jax.Array]:
     r"""Static per-token dispatch tables for the unified kernel bank layout.
@@ -244,62 +310,12 @@ def _interpreter_kernel(
     def wait_w3(slot, buf):
         pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
 
-    # --- flat-layout 3x3 convs -------------------------------------------
-    # The image lives as a VALUE in a row-pitched flat layout (pad columns
-    # between rows), so every 3x3 tap is a STATIC contiguous slice fed
-    # straight to the MXU as one of 9 accumulating dots — no im2col patch
-    # materialization (measured 2.0 -> 0.48 us per d=1 conv; the strided
-    # patch copies were ~2/3 of the old conv). d=1 chains use a 16-wide
-    # pitch with 1-pixel pads; relate's dilated chain (d up to 8) a 32-wide
-    # pitch with 8-pixel pads. Pad positions are zeroed after every layer,
-    # which reproduces exact zero-padding semantics.
-    def _geom(pitch, pad):
-        rows = H + 2 * pad + (1 if pitch == 16 else 1)
-        base = pad * pitch + pad
-        span = (W - 1) + (H - 1) * pitch + 1
-        sl = ((span + 7) // 8) * 8
-        rows = max(rows, -(-(base + (pad * pitch + pad) + sl) // pitch))
-        flat = rows * pitch
-        # validity mask over the sl-row output window, built from in-kernel
-        # iota (Pallas kernels cannot capture host array constants)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (sl, 1), 0) + base
-        r, cc = idx // pitch, idx % pitch
-        valid = ((r >= pad) & (r < pad + H) & (cc >= pad) & (cc < pad + W)
-                 ).astype(jnp.float32)
-        return dict(pitch=pitch, pad=pad, base=base, sl=sl, flat=flat, valid=valid)
-
-    G1 = _geom(16, 1)    # flat 272,  slice 224
-    G8 = _geom(32, 8)    # flat 992,  slice 432
-
-    def to_flat(compact_f32, g):
-        img = compact_f32.reshape(H, W, C)
-        img = jnp.pad(img, ((g["pad"], g["flat"] // g["pitch"] - H - g["pad"]),
-                            (g["pad"], g["pitch"] - W - g["pad"]), (0, 0)))
-        return img.reshape(g["flat"], C)
-
-    def refold(out_sl_f32, g):
-        r"""(sl, C) conv output -> next layer's flat input (pads re-zeroed)."""
-        clean = out_sl_f32 * g["valid"]
-        return jnp.pad(clean, ((g["base"], g["flat"] - g["base"] - g["sl"]), (0, 0)))
-
-    def compact(out_sl_f32, g):
-        full = jnp.pad(out_sl_f32 * g["valid"],
-                       ((g["base"], g["flat"] - g["base"] - g["sl"]), (0, 0)))
-        img = full.reshape(g["flat"] // g["pitch"], g["pitch"], C)
-        return img[g["pad"]:g["pad"] + H, g["pad"]:g["pad"] + W, :].reshape(HW, C)
+    fh = _flat_conv_helpers(H, W, C)
+    G1, G8 = fh["G1"], fh["G8"]
+    to_flat, refold, compact = fh["to_flat"], fh["refold"], fh["compact"]
 
     def conv3x3_flat(flat_bf16, buf, bias_slot, dilation: int, g):
-        d = dilation
-        tot = jnp.zeros((g["sl"], C), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                start = g["base"] + (ky - 1) * d * g["pitch"] + (kx - 1) * d
-                k = ky * 3 + kx
-                tot = tot + jnp.dot(
-                    flat_bf16[start:start + g["sl"], :],
-                    w3_buf[buf, k * C:(k + 1) * C, :],
-                    preferred_element_type=jnp.float32,
-                )
+        tot = fh["conv"](flat_bf16, w3_buf, buf, dilation, g)
         bias = b3_ref[bias_slot][0:1, :C].astype(jnp.float32)  # (1, C)
         return tot + bias
 
@@ -594,9 +610,6 @@ def _interpreter_bwd_kernel(
     g_out,           # (HW, C) f32 — gradient wrt the out register
     g_saved,         # (HW, C) f32
     dx_acc,          # (HW, C) f32 — gradient wrt stem features (this example)
-    pad_buf,         # (H + 16, W + 16, C) dtype — im2col staging
-    gpad,            # (H + 16, W + 16, C) f32 — col2im accumulation
-    patches,         # (HW, 9C) dtype — im2col AND (reused) grad patches
     w3_buf,          # (2, 9C, C) dtype — weight double buffer
     dw3_acc,         # (9C, C) f32 — RMW staging for dw3
     sems,            # DMA semaphores (4,): 0/1 = w3 double buffer, 2 = dw3 r, 3 = dw3 w
@@ -651,24 +664,14 @@ def _interpreter_bwd_kernel(
     def wait_w3(slot, buf):
         pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
 
-    def fill_patches(inp, dilation: int):
-        r"""im2col of ``inp`` (HW, C) dtype into the ``patches`` scratch."""
-        d = dilation
-        pad_buf[8:8 + H, 8:8 + W, :] = inp.reshape(H, W, C)
-        for ky in range(3):
-            for kx in range(3):
-                oy = 8 + (ky - 1) * d
-                ox = 8 + (kx - 1) * d
-                k = ky * 3 + kx
-                patches[:, k * C:(k + 1) * C] = (
-                    pad_buf[oy:oy + H, ox:ox + W, :].reshape(HW, C)
-                )
+    fh = _flat_conv_helpers(H, W, C)
+    G1, G8 = fh["G1"], fh["G8"]
+    to_flat, compact_out = fh["to_flat"], fh["compact"]
 
-    def conv_from_patches(buf, bias_slot):
-        total = jnp.dot(
-            patches[...], w3_buf[buf], preferred_element_type=f32
-        )
-        return total + b3_ref[bias_slot][0:1, :C].astype(f32)
+    def conv_flat(flat_vals, buf, bias_slot, dilation: int, g):
+        return fh["conv"](flat_vals, w3_buf, buf, dilation, g) + b3_ref[
+            bias_slot
+        ][0:1, :C].astype(f32)
 
     lanes128 = jax.lax.broadcasted_iota(jnp.int32, (HW, 128), 1)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -701,52 +704,57 @@ def _interpreter_bwd_kernel(
             (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )
 
-    def conv_layer_bwd(g_a, slot, dilation: int, inp, outp):
-        r"""Backward of relu(conv3x3(inp)): accumulates dw3 (HBM RMW) + db3,
-        returns g wrt inp. inp/outp are the stored f32 activations."""
+    def conv_layer_bwd(g_a, slot, dilation: int, inp, outp, g):
+        r"""Backward of relu(conv3x3(inp)) in the flat layout: per-tap
+        contract-dim0 dots for dw3 (HBM RMW) + db3, and shifted-pad
+        accumulation for the input grad. inp/outp are stored f32 activations
+        in the compact (HW, C) layout."""
         g_z = g_a * (outp > 0.0)
         colsum = jnp.sum(g_z, axis=0)  # (C,)
         db3_ref[slot] = db3_ref[slot] + row0_plane(
             jnp.pad(colsum, (0, 128 - C))
         )
-        fill_patches(inp.astype(dtype), dilation)
-        # dw3[slot] += patches^T @ g_z  (HBM read-modify-write)
+        inp_flat = to_flat(inp, g).astype(dtype)
+        gz_sl = to_flat(g_z, g)[g["base"]:g["base"] + g["sl"], :].astype(dtype)
+        d = dilation
+        # dw3[slot] += tap_slice(inp)^T @ g_z per tap (HBM read-modify-write).
         rd = pltpu.make_async_copy(dw3_ref.at[slot], dw3_acc, sems.at[2])
         rd.start()
         rd.wait()
-        dw3_acc[...] = dw3_acc[...] + jax.lax.dot_general(
-            patches[...], g_z.astype(dtype),
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        )
+        dparts = []
+        for ky in range(3):
+            for kx in range(3):
+                start = g["base"] + (ky - 1) * d * g["pitch"] + (kx - 1) * d
+                dparts.append(jax.lax.dot_general(
+                    inp_flat[start:start + g["sl"], :], gz_sl,
+                    (((0,), (0,)), ((), ())), preferred_element_type=f32,
+                ))
+        dw3_acc[...] = dw3_acc[...] + jnp.concatenate(dparts, axis=0)
         wr = pltpu.make_async_copy(dw3_acc, dw3_ref.at[slot], sems.at[3])
         wr.start()
         wr.wait()
-        # g_patches = g_z @ W^T, then col2im (reverse of the shifted windows).
-        # Overwrites the patches buffer — its forward contents are dead here,
-        # and a separate f32 grad-patches scratch would blow the VMEM budget.
+        # Input grad: g_inp[p + off_k] += (g_z @ W_k^T)[p], accumulated as 9
+        # shifted pads of the per-tap back-projections in flat space.
         start_w3(slot, 0)
         wait_w3(slot, 0)
-        patches[...] = jax.lax.dot_general(
-            g_z.astype(dtype), w3_buf[0],
-            (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        ).astype(dtype)
-        gpad[...] = jnp.zeros_like(gpad)
-        d = dilation
+        ginp_flat = jnp.zeros((g["flat"], C), f32)
         for ky in range(3):
             for kx in range(3):
-                oy = 8 + (ky - 1) * d
-                ox = 8 + (kx - 1) * d
                 k = ky * 3 + kx
-                gpad[oy:oy + H, ox:ox + W, :] = (
-                    gpad[oy:oy + H, ox:ox + W, :]
-                    + patches[:, k * C:(k + 1) * C].reshape(H, W, C).astype(f32)
+                start = g["base"] + (ky - 1) * d * g["pitch"] + (kx - 1) * d
+                gW = jax.lax.dot_general(
+                    gz_sl, w3_buf[0, k * C:(k + 1) * C, :],
+                    (((1,), (1,)), ((), ())), preferred_element_type=f32,
                 )
-        return gpad[8:8 + H, 8:8 + W, :].reshape(HW, C)
+                ginp_flat = ginp_flat + jnp.pad(
+                    gW, ((start, g["flat"] - start - g["sl"]), (0, 0))
+                )
+        img = ginp_flat.reshape(g["flat"] // g["pitch"], g["pitch"], C)
+        return img[g["pad"]:g["pad"] + H, g["pad"]:g["pad"] + W, :].reshape(HW, C)
 
-    def chain_bwd(tok, dils, with_input_mul: bool):
-        r"""Recompute a conv chain from the stored entry register, then backprop.
-        Returns g wrt the chain input acts[0]. g_out holds g wrt the chain
-        output on entry (query/compare) or is consumed by the caller (heads)."""
+    def chain_bwd(tok, dils, g):
+        r"""Recompute a conv chain from the stored entry register into ``acts``
+        (compact f32 per layer); the reverse sweep backprops from them."""
         L = len(dils)
         for l in range(L):
             cur, nxt = l % 2, (l + 1) % 2
@@ -755,16 +763,15 @@ def _interpreter_bwd_kernel(
             if l + 1 < L:
                 start_w3(slot3_ref[tok, l + 1], nxt)
             wait_w3(slot3_ref[tok, l], cur)
-            fill_patches(acts[l].astype(dtype), dils[l])
-            z = conv_from_patches(cur, slot3_ref[tok, l])
-            acts[l + 1] = jnp.maximum(z, 0.0)
+            flat = to_flat(acts[l], g).astype(dtype)
+            z = conv_flat(flat, cur, slot3_ref[tok, l], dils[l], g)
+            acts[l + 1] = compact_out(jnp.maximum(z, 0.0), g)
         return L
 
     # --- per-example body -------------------------------------------------------
     dx_acc[...] = jnp.zeros_like(dx_acc)
     g_out[...] = jnp.zeros_like(g_out)
     g_saved[...] = jnp.zeros_like(g_saved)
-    pad_buf[...] = jnp.zeros_like(pad_buf)
 
     @pl.when(invalid_flags[b] == 0)
     def _():
@@ -803,7 +810,7 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
                     acts[0] = (x * old_out).astype(f32)
-                    chain_bwd(tok, (1, 2, 4, 8, 1), True)
+                    chain_bwd(tok, (1, 2, 4, 8, 1), G8)
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
                     reg_out[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
@@ -811,7 +818,7 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
                     acts[0] = (x * old_out).astype(f32)
-                    chain_bwd(tok, (1, 1), True)
+                    chain_bwd(tok, (1, 1), G1)
 
                     @pl.when(has_head)
                     def _():
@@ -833,7 +840,7 @@ def _interpreter_bwd_kernel(
                         + bcmp_ref[cs][0:1, :C].astype(f32)
                     )
                     acts[0] = jnp.maximum(proj, 0.0)
-                    chain_bwd(tok, (1, 1), False)
+                    chain_bwd(tok, (1, 1), G1)
                     reg_out[...] = acts[2].astype(dtype)
 
                 @pl.when(is_same)
@@ -911,13 +918,13 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
                     acts[0] = (x * out_in).astype(f32)
-                    chain_bwd(tok, (1, 2, 4, 8, 1), True)
+                    chain_bwd(tok, (1, 2, 4, 8, 1), G8)
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
                     g_a = head_bwd(acts[5], hs, attn, go)
                     for l, dil in ((4, 1), (3, 8), (2, 4), (1, 2), (0, 1)):
                         g_a = conv_layer_bwd(
-                            g_a, slot3_ref[tok, l], dil, acts[l], acts[l + 1]
+                            g_a, slot3_ref[tok, l], dil, acts[l], acts[l + 1], G8
                         )
                     dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
                     g_out[...] = g_a * x.astype(f32)
@@ -925,7 +932,7 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
                     acts[0] = (x * out_in).astype(f32)
-                    chain_bwd(tok, (1, 1), True)
+                    chain_bwd(tok, (1, 1), G1)
 
                     @pl.when(has_head)
                     def _():
@@ -934,7 +941,7 @@ def _interpreter_bwd_kernel(
                         g_a = head_bwd(acts[2], hs, attn, go)
                         for l in (1, 0):
                             g_a = conv_layer_bwd(
-                                g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1]
+                                g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1], G1
                             )
                         dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
                         g_out[...] = g_a * x.astype(f32)
@@ -944,7 +951,7 @@ def _interpreter_bwd_kernel(
                         g_a = go
                         for l in (1, 0):
                             g_a = conv_layer_bwd(
-                                g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1]
+                                g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1], G1
                             )
                         dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
                         g_out[...] = g_a * x.astype(f32)
@@ -959,11 +966,11 @@ def _interpreter_bwd_kernel(
                         + bcmp_ref[cs][0:1, :C].astype(f32)
                     )
                     acts[0] = jnp.maximum(proj, 0.0)
-                    chain_bwd(tok, (1, 1), False)
+                    chain_bwd(tok, (1, 1), G1)
                     g_a = go
                     for l in (1, 0):
                         g_a = conv_layer_bwd(
-                            g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1]
+                            g_a, slot3_ref[tok, l], 1, acts[l], acts[l + 1], G1
                         )
                     g_pre = g_a * (acts[0] > 0.0)
                     colsum = jnp.sum(g_pre, axis=0)
@@ -1085,9 +1092,6 @@ def _execute_bwd_pallas(
             pltpu.VMEM((H * W, C), f32),                         # g_out
             pltpu.VMEM((H * W, C), f32),                         # g_saved
             pltpu.VMEM((H * W, C), f32),                         # dx_acc
-            pltpu.VMEM((H + 16, W + 16, C), stem_feats.dtype),   # pad_buf
-            pltpu.VMEM((H + 16, W + 16, C), f32),                # gpad
-            pltpu.VMEM((H * W, 9 * C), stem_feats.dtype),        # patches
             pltpu.VMEM((2, 9 * C, C), banks["w3"].dtype),        # w3 double buffer
             pltpu.VMEM((9 * C, C), f32),                         # dw3_acc
             pltpu.SemaphoreType.DMA((4,)),
