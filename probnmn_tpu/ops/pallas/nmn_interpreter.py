@@ -623,9 +623,10 @@ def _interpreter_bwd_kernel(
     invalid examples receive zero gradient because the forward zeroes their
     output). Phase 2 sweeps the steps in reverse, recomputing each heavy
     step's conv-chain activations from the stored registers (VMEM-resident
-    rematerialization) and backpropagating: conv backward = one MXU matmul
-    for the weight grad (patches^T @ g) + one for the input grad (g @ W^T)
-    + a col2im scatter of shifted windows. The unified 3x3 weight-grad bank
+    rematerialization) and backpropagating: conv backward uses the shared
+    flat-layout machinery — 9 per-tap contract-dim0 dots for the weight grad
+    and 9 shifted-pad accumulations of per-tap back-projections (g @ W_k^T)
+    for the input grad. The unified 3x3 weight-grad bank
     stays in HBM and is accumulated by sequential-grid DMA read-modify-write;
     all small bank grads accumulate in VMEM outputs with constant index maps.
     """
