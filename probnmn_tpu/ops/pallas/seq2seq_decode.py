@@ -438,3 +438,22 @@ def sampling_forward_with_noise_xla(
     predictions = trim_at_end(preds, spec.end_index)
     loss = length_normalized_logprob_loss(logprobs, predictions, spec.pad_index)
     return {"predictions": predictions, "loss": loss, "logprobs": logprobs}
+
+
+def fused_sampling_forward_dp(mesh, params, spec, source_tokens, rng, **kw):
+    r"""Data-parallel :func:`fused_sampling_forward` via ``shard_map`` over the
+    mesh's ``data`` axis: params replicate, the batch shards, and each shard
+    folds its ``data`` coordinate into the PRNG key so shards draw independent
+    noise."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def fn(p, s, r):
+        r = jax.random.fold_in(r, jax.lax.axis_index(axis))
+        return fused_sampling_forward(p, spec, s, r, **kw)["predictions"]
+
+    return shard_map(fn, mesh=mesh, in_specs=(P(), P(axis), P()),
+                     out_specs=P(axis), check_vma=False)(
+        params, source_tokens, rng)

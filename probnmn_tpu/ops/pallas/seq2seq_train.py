@@ -1376,3 +1376,37 @@ def _fused_lm_bwd(spec, compute_dtype, batch_block, interpret, residuals, dloss)
 
 
 fused_lm_loss.defvjp(_fused_lm_fwd, _fused_lm_bwd)
+
+
+# ===================================================== data-parallel wrappers
+def _dp(fn, mesh, n_batch_args):
+    r"""shard_map a per-example fused kernel over the mesh's ``data`` axis.
+
+    The fused kernels are per-example maps (losses/predictions have a leading
+    batch dim and there is no cross-example math inside), so batch-dim
+    sharding needs no collectives: params replicate, batch args shard, and
+    the sharded per-example outputs feed the trainers' (GSPMD-global)
+    masked means. Verified bit-exact against the single-device call — forward
+    and every gradient leaf (tests/test_seq2seq_train_pallas.py).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (P(),) + (P(mesh.axis_names[0]),) * n_batch_args
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=P(mesh.axis_names[0]), check_vma=False)
+
+
+def fused_tf_loss_dp(mesh, params, spec, source_tokens, target_tokens,
+                     reinforce_norm: bool = False, **kw):
+    r"""Data-parallel :func:`fused_tf_loss`: one kernel per device on its
+    batch shard (Pallas custom calls cannot auto-partition under GSPMD, but
+    they compose perfectly under ``shard_map``)."""
+    fn = lambda p, s, t: fused_tf_loss(p, spec, s, t, reinforce_norm, **kw)
+    return _dp(fn, mesh, 2)(params, source_tokens, target_tokens)
+
+
+def fused_lm_loss_dp(mesh, params, spec, program_tokens, **kw):
+    r"""Data-parallel :func:`fused_lm_loss`."""
+    fn = lambda p, t: fused_lm_loss(p, spec, t, **kw)
+    return _dp(fn, mesh, 1)(params, program_tokens)

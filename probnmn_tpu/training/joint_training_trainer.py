@@ -124,21 +124,35 @@ class JointTrainingTrainer(_Trainer):
             if nmn_lib.fast_training_available(nmn_spec)
             else nmn_lib.nmn_forward
         )
-        # Fused Pallas seq2seq fwd+bwd on single-chip TPU (see
-        # question_coding_trainer for the rationale + the mesh restriction).
+        # Fused Pallas seq2seq fwd+bwd on TPU (see question_coding_trainer for
+        # the rationale); on a mesh each per-example kernel runs per-device on
+        # its batch shard via shard_map.
         from probnmn_tpu.ops.pallas.seq2seq_train import (
             fused_lm_available,
             fused_lm_loss,
+            fused_lm_loss_dp,
             fused_tf_loss,
+            fused_tf_loss_dp,
             fused_training_available,
         )
 
+        mesh = self._mesh
         use_fused = (
-            self._mesh is None
-            and fused_training_available(pg_spec)
+            fused_training_available(pg_spec)
             and fused_training_available(qr_spec)
             and fused_lm_available(prior_spec)
         )
+
+        def tf_loss(model_params, model_spec, src, tgt, reinforce_norm=False):
+            if mesh is not None:
+                return fused_tf_loss_dp(mesh, model_params, model_spec, src, tgt,
+                                        reinforce_norm)
+            return fused_tf_loss(model_params, model_spec, src, tgt, reinforce_norm)
+
+        def lm_loss(model_params, model_spec, tokens):
+            if mesh is not None:
+                return fused_lm_loss_dp(mesh, model_params, model_spec, tokens)
+            return fused_lm_loss(model_params, model_spec, tokens)
 
         @jax.jit
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
@@ -151,16 +165,22 @@ class JointTrainingTrainer(_Trainer):
                 if use_fused:
                     from probnmn_tpu.ops.pallas.seq2seq_decode import (
                         fused_sampling_forward,
+                        fused_sampling_forward_dp,
                     )
 
-                    z = fused_sampling_forward(
-                        jax.lax.stop_gradient(p["program_generator"]), pg_spec,
-                        batch["question"], keys[0],
-                    )["predictions"]
-                    pg_free = {"loss": fused_tf_loss(
+                    pg_frozen = jax.lax.stop_gradient(p["program_generator"])
+                    if mesh is not None:
+                        z = fused_sampling_forward_dp(
+                            mesh, pg_frozen, pg_spec, batch["question"], keys[0]
+                        )
+                    else:
+                        z = fused_sampling_forward(
+                            pg_frozen, pg_spec, batch["question"], keys[0]
+                        )["predictions"]
+                    pg_free = {"loss": tf_loss(
                         p["program_generator"], pg_spec, batch["question"], z, True,
                     ), "predictions": z}
-                    qr_rec = {"loss": fused_tf_loss(
+                    qr_rec = {"loss": tf_loss(
                         p["question_reconstructor"], qr_spec, z, batch["question"],
                     )}
                 else:
@@ -199,7 +219,7 @@ class JointTrainingTrainer(_Trainer):
                 logprobs_reconstruction = -qr_rec["loss"]
                 if use_fused:
                     # Frozen prior: fused LM forward (rng-independent loss).
-                    prior_out = {"loss": fused_lm_loss(prior_params, prior_spec, z)}
+                    prior_out = {"loss": lm_loss(prior_params, prior_spec, z)}
                 else:
                     prior_out = program_prior_forward(
                         prior_params, prior_spec, z, keys[2]
@@ -218,11 +238,11 @@ class JointTrainingTrainer(_Trainer):
 
                 # --- supervised subset: teacher-forced PG/QR (reference :154-177) ---
                 if use_fused:
-                    pg_sup = {"loss": fused_tf_loss(
+                    pg_sup = {"loss": tf_loss(
                         p["program_generator"], pg_spec,
                         batch["question"], batch["program"],
                     )}
-                    qr_sup = {"loss": fused_tf_loss(
+                    qr_sup = {"loss": tf_loss(
                         p["question_reconstructor"], qr_spec,
                         batch["program"], batch["question"],
                     )}

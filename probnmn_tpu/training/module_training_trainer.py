@@ -78,21 +78,32 @@ class ModuleTrainingTrainer(_Trainer):
         )
 
         # The generator is frozen here, so sampling needs no gradient: the
-        # fused Pallas sampling kernel serves it on single-chip TPU.
+        # fused Pallas sampling kernel serves it on TPU (per-shard via
+        # shard_map when a mesh is active).
         from probnmn_tpu.models.seq2seq import (
             fast_sampling_available,
             sampling_forward_serving,
         )
 
-        use_fast_sampling = self._mesh is None and fast_sampling_available(pg_spec)
+        mesh = self._mesh
+        use_fast_sampling = fast_sampling_available(pg_spec)
 
         @jax.jit
         def train_step(params, opt_state, rng, batch, pg_params):
             # Sample programs from the frozen generator (reference :88-98).
             if use_fast_sampling:
-                pg_out = sampling_forward_serving(
-                    pg_params, pg_spec, batch["question"], rng
-                )
+                if mesh is not None:
+                    from probnmn_tpu.ops.pallas.seq2seq_decode import (
+                        fused_sampling_forward_dp,
+                    )
+
+                    pg_out = {"predictions": fused_sampling_forward_dp(
+                        mesh, pg_params, pg_spec, batch["question"], rng
+                    )}
+                else:
+                    pg_out = sampling_forward_serving(
+                        pg_params, pg_spec, batch["question"], rng
+                    )
             else:
                 pg_out = seq2seq_forward(
                     pg_params, pg_spec, batch["question"], None, "sampling", rng

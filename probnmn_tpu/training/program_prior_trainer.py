@@ -60,19 +60,26 @@ class ProgramPriorTrainer(_Trainer):
 
     def _build_step_fn(self):
         spec, tx = self.spec, self._tx
-        # Fused Pallas LM fwd+BPTT-bwd on single-chip TPU; the loss is
-        # rng-independent (sampling only feeds qualitative predictions).
+        # Fused Pallas LM fwd+BPTT-bwd on TPU; the loss is rng-independent
+        # (sampling only feeds qualitative predictions). On a mesh the kernel
+        # runs per-device on its batch shard via shard_map.
         from probnmn_tpu.ops.pallas.seq2seq_train import (
             fused_lm_available,
             fused_lm_loss,
+            fused_lm_loss_dp,
         )
 
-        use_fused = self._mesh is None and fused_lm_available(spec)
+        mesh = self._mesh
+        use_fused = fused_lm_available(spec)
 
         @jax.jit
         def train_step(params, opt_state, rng, batch):
             def loss_fn(p):
                 if use_fused:
+                    if mesh is not None:
+                        return fused_lm_loss_dp(
+                            mesh, p["program_prior"], spec, batch["program"]
+                        ).mean()
                     return fused_lm_loss(p["program_prior"], spec, batch["program"]).mean()
                 out = program_prior_forward(p["program_prior"], spec, batch["program"], rng, train=True)
                 return out["loss"].mean()

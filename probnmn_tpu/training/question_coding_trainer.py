@@ -80,24 +80,38 @@ class QuestionCodingTrainer(_Trainer):
         tx = self._tx
         alpha, beta, delta = self._C.ALPHA, self._C.BETA, self._C.DELTA
         objective = self._C.OBJECTIVE
-        # Fused Pallas fwd+BPTT-bwd passes (single-chip TPU): custom-VJP kernels
-        # are opaque to XLA, which avoids the combined-graph backward blowup
-        # (the joint five-pass XLA backward costs ~1.5x the sum of the passes,
-        # PERF.md). Pallas custom calls cannot auto-partition, so the mesh path
-        # keeps the scan implementation.
+        # Fused Pallas fwd+BPTT-bwd passes on TPU: custom-VJP kernels are
+        # opaque to XLA, which avoids the combined-graph backward blowup (the
+        # joint five-pass XLA backward costs ~1.5x the sum of the passes,
+        # PERF.md). Pallas custom calls cannot auto-partition under GSPMD, so
+        # on a mesh each per-example kernel runs per-device on its batch shard
+        # via shard_map (bit-exact vs single device, tested).
         from probnmn_tpu.ops.pallas.seq2seq_train import (
             fused_lm_available,
             fused_lm_loss,
+            fused_lm_loss_dp,
             fused_tf_loss,
+            fused_tf_loss_dp,
             fused_training_available,
         )
 
+        mesh = self._mesh
         use_fused = (
-            self._mesh is None
-            and fused_training_available(pg_spec)
+            fused_training_available(pg_spec)
             and fused_training_available(qr_spec)
             and fused_lm_available(prior_spec)
         )
+
+        def tf_loss(model_params, model_spec, src, tgt, reinforce_norm=False):
+            if mesh is not None:
+                return fused_tf_loss_dp(mesh, model_params, model_spec, src, tgt,
+                                        reinforce_norm)
+            return fused_tf_loss(model_params, model_spec, src, tgt, reinforce_norm)
+
+        def lm_loss(model_params, model_spec, tokens):
+            if mesh is not None:
+                return fused_lm_loss_dp(mesh, model_params, model_spec, tokens)
+            return fused_lm_loss(model_params, model_spec, tokens)
 
         @jax.jit
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
@@ -107,11 +121,11 @@ class QuestionCodingTrainer(_Trainer):
             def loss_fn(p):
                 # Supervised teacher-forced losses (means over the supervised subset).
                 if use_fused:
-                    pg_sup = {"loss": fused_tf_loss(
+                    pg_sup = {"loss": tf_loss(
                         p["program_generator"], pg_spec,
                         batch["question"], batch["program"],
                     )}
-                    qr_sup = {"loss": fused_tf_loss(
+                    qr_sup = {"loss": tf_loss(
                         p["question_reconstructor"], qr_spec,
                         batch["program"], batch["question"],
                     )}
@@ -147,22 +161,28 @@ class QuestionCodingTrainer(_Trainer):
                     # gradient the scan path produces at the same z.
                     from probnmn_tpu.ops.pallas.seq2seq_decode import (
                         fused_sampling_forward,
+                        fused_sampling_forward_dp,
                     )
 
-                    z = fused_sampling_forward(
-                        jax.lax.stop_gradient(p["program_generator"]), pg_spec,
-                        batch["question"], keys[2],
-                    )["predictions"]
-                    pg_free = {"loss": fused_tf_loss(
+                    pg_frozen = jax.lax.stop_gradient(p["program_generator"])
+                    if mesh is not None:
+                        z = fused_sampling_forward_dp(
+                            mesh, pg_frozen, pg_spec, batch["question"], keys[2]
+                        )
+                    else:
+                        z = fused_sampling_forward(
+                            pg_frozen, pg_spec, batch["question"], keys[2]
+                        )["predictions"]
+                    pg_free = {"loss": tf_loss(
                         p["program_generator"], pg_spec,
                         batch["question"], z, True,
                     ), "predictions": z}
-                    qr_rec = {"loss": fused_tf_loss(
+                    qr_rec = {"loss": tf_loss(
                         p["question_reconstructor"], qr_spec, z, batch["question"],
                     )}
                     # Frozen prior: fused LM forward (loss is rng-independent;
                     # the prior's logprobs only enter the detached reward).
-                    prior_out = {"loss": fused_lm_loss(prior_params, prior_spec, z)}
+                    prior_out = {"loss": lm_loss(prior_params, prior_spec, z)}
                 else:
                     pg_free = seq2seq_forward(
                         p["program_generator"], pg_spec,

@@ -165,3 +165,51 @@ def test_lm_weighted_cotangents():
             p, LM_SPEC, tok, jax.random.PRNGKey(0))["loss"]).sum()
     )(params)
     _grad_trees_match(gk, gx)
+
+
+# --------------------------------------------------- data-parallel shard_map --
+def test_shard_map_dp_matches_single_device():
+    r"""``fused_tf_loss_dp`` (per-device kernels on batch shards) must be
+    bit-exact with the single-device call — forward and every gradient leaf.
+    This is what lets the fused kernels run under the production mesh, where
+    Pallas custom calls cannot auto-partition."""
+    from jax.sharding import Mesh
+    from probnmn_tpu.ops.pallas.seq2seq_train import fused_tf_loss_dp
+
+    params = init_seq2seq_params(jax.random.PRNGKey(0), SPEC)
+    src, tgt = _batch(0, batch=16)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    dp = lambda p: fused_tf_loss_dp(
+        mesh, p, SPEC, src, tgt, False,
+        compute_dtype=jnp.float32, batch_block=2, interpret=True,
+    )
+    single = lambda p: fused_tf_loss(p, SPEC, src, tgt, False, jnp.float32, 2, True)
+    np.testing.assert_array_equal(np.asarray(jax.jit(dp)(params)),
+                                  np.asarray(single(params)))
+    g_dp = jax.grad(lambda p: dp(p).mean())(params)
+    g_1d = jax.grad(lambda p: single(p).mean())(params)
+    # Param cotangents are psummed across shards; the reduction order differs
+    # from the single-device sequential grid accumulation, so compare at the
+    # usual tolerance instead of bitwise.
+    for a, b in zip(jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_1d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_shard_map_lm_dp_matches_single_device():
+    from jax.sharding import Mesh
+    from probnmn_tpu.ops.pallas.seq2seq_train import fused_lm_loss_dp
+
+    params = init_program_prior_params(jax.random.PRNGKey(1), LM_SPEC)
+    tok = _lm_batch(1, batch=16)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    dp = lambda p: fused_lm_loss_dp(
+        mesh, p, LM_SPEC, tok, compute_dtype=jnp.float32, batch_block=2,
+        interpret=True,
+    )
+    single = lambda p: fused_lm_loss(p, LM_SPEC, tok, jnp.float32, 2, True)
+    np.testing.assert_array_equal(np.asarray(jax.jit(dp)(params)),
+                                  np.asarray(single(params)))
+    g_dp = jax.grad(lambda p: dp(p).mean())(params)
+    g_1d = jax.grad(lambda p: single(p).mean())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dp), jax.tree_util.tree_leaves(g_1d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
