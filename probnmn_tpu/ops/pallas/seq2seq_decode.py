@@ -440,15 +440,28 @@ def sampling_forward_with_noise_xla(
     return {"predictions": predictions, "loss": loss, "logprobs": logprobs}
 
 
-def fused_sampling_forward_dp(mesh, params, spec, source_tokens, rng, **kw):
+def fused_sampling_forward_dp(mesh, params, spec, source_tokens, rng,
+                              noise=None, **kw):
     r"""Data-parallel :func:`fused_sampling_forward` via ``shard_map`` over the
     mesh's ``data`` axis: params replicate, the batch shards, and each shard
     folds its ``data`` coordinate into the PRNG key so shards draw independent
-    noise."""
+    hardware-PRNG noise. With an explicit ``noise`` tensor (tests /
+    deterministic replay; the TPU hardware PRNG has no CPU interpreter), the
+    noise shards along its batch dim instead and the fold is unnecessary."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
+
+    if noise is not None:
+        def fn(p, s, n):
+            return fused_sampling_forward(
+                p, spec, s, rng, noise=n, **kw)["predictions"]
+
+        return shard_map(fn, mesh=mesh,
+                         in_specs=(P(), P(axis), P(None, axis, None)),
+                         out_specs=P(axis), check_vma=False)(
+            params, source_tokens, noise)
 
     def fn(p, s, r):
         r = jax.random.fold_in(r, jax.lax.axis_index(axis))

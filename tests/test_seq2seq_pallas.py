@@ -142,3 +142,26 @@ def test_xla_replica_is_distributionally_equivalent_to_scan_path():
         freq[1] += np.bincount(p_c[p_c > 0].ravel(), minlength=SPEC.target_vocab_size)
     freq /= freq.sum(axis=1, keepdims=True)
     assert np.abs(freq[0] - freq[1]).sum() < 0.15
+
+
+def test_shard_map_sampling_dp_matches_single_device():
+    r"""``fused_sampling_forward_dp`` (per-device kernels on batch shards) is
+    bit-exact with the single-device call when driven by the same explicit
+    noise tensor (the hardware-PRNG branch has no CPU interpreter; on TPU it
+    folds the shard index into the key so shards draw independent noise)."""
+    from jax.sharding import Mesh
+    from probnmn_tpu.ops.pallas.seq2seq_decode import fused_sampling_forward_dp
+
+    params = init_seq2seq_params(jax.random.PRNGKey(0), SPEC)
+    src = _random_batch(batch=16, seed=11)
+    noise = _gumbel(jax.random.PRNGKey(13), 16)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    preds_dp = jax.jit(lambda p, s, n: fused_sampling_forward_dp(
+        mesh, p, SPEC, s, jax.random.PRNGKey(5), noise=n,
+        compute_dtype=jnp.float32, batch_block=2, interpret=True,
+    ))(params, src, noise)
+    single = fused_sampling_forward(
+        params, SPEC, src, jax.random.PRNGKey(5),
+        compute_dtype=jnp.float32, batch_block=2, noise=noise, interpret=True,
+    )["predictions"]
+    np.testing.assert_array_equal(np.asarray(preds_dp), np.asarray(single))
