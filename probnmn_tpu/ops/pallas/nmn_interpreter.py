@@ -113,9 +113,11 @@ def _flat_conv_helpers(H, W, C):
         img = full.reshape(g["flat"] // g["pitch"], g["pitch"], C)
         return img[g["pad"]:g["pad"] + H, g["pad"]:g["pad"] + W, :].reshape(HW, C)
 
-    def conv(flat_vals, w3_buf, buf, dilation: int, g):
+    def conv(flat_vals, w3_ref, slot, dilation: int, g):
         r"""Bias-free 3x3 conv: 9 accumulating dots over static tap slices of
-        ``flat_vals`` against the (9C, C) weight rows in ``w3_buf[buf]``."""
+        ``flat_vals`` against the (9C, C) weight rows of VMEM-resident bank
+        slot ``slot`` (the whole unified bank lives in VMEM — 22 MB bf16 at
+        CLEVR scale — so there is no per-token weight DMA at all)."""
         d = dilation
         tot = jnp.zeros((g["sl"], C), jnp.float32)
         for ky in range(3):
@@ -124,7 +126,7 @@ def _flat_conv_helpers(H, W, C):
                 k = ky * 3 + kx
                 tot = tot + jnp.dot(
                     flat_vals[start:start + g["sl"], :],
-                    w3_buf[buf, k * C:(k + 1) * C, :],
+                    w3_ref[slot, k * C:(k + 1) * C, :],
                     preferred_element_type=jnp.float32,
                 )
         return tot
@@ -285,9 +287,7 @@ def _interpreter_kernel(
     out_reg,         # (H*W, C) VMEM
     saved_reg,       # (H*W, C) VMEM
     acc,             # (H*W, C) f32 VMEM accumulator
-    w3_buf,          # (2, 9C, C) VMEM weight double buffer
     tag_ref,         # (4,) SMEM: out_tag, saved_tag, invalid
-    sems,            # DMA semaphores (2,)
 ):
     b = pl.program_id(0)
     T = tokens_ref.shape[1]
@@ -304,19 +304,13 @@ def _interpreter_kernel(
     tag_ref[1] = TAG_NONE
     tag_ref[2] = 0  # invalid
 
-    def start_w3(slot, buf):
-        pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).start()
-
-    def wait_w3(slot, buf):
-        pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
-
     fh = _flat_conv_helpers(H, W, C)
     G1, G8 = fh["G1"], fh["G8"]
     to_flat, refold, compact = fh["to_flat"], fh["refold"], fh["compact"]
 
-    def conv3x3_flat(flat_bf16, buf, bias_slot, dilation: int, g):
-        tot = fh["conv"](flat_bf16, w3_buf, buf, dilation, g)
-        bias = b3_ref[bias_slot][0:1, :C].astype(jnp.float32)  # (1, C)
+    def conv3x3_flat(flat_bf16, slot, dilation: int, g):
+        tot = fh["conv"](flat_bf16, w3_ref, slot, dilation, g)
+        bias = b3_ref[slot][0:1, :C].astype(jnp.float32)  # (1, C)
         return tot + bias
 
     def run_token(t, _):
@@ -381,16 +375,11 @@ def _interpreter_kernel(
             @pl.when(do_chain & (kind == RELATE))
             def _():
                 # straight-line 5-layer dilated chain + sigmoid head
-                start_w3(slot3_ref[tok, 0], 0)
                 flat = to_flat((x * out_reg[...]).astype(jnp.float32), G8).astype(dtype)
                 res = None
                 for l, dil in enumerate((1, 2, 4, 8, 1)):
-                    cur, nxt = l % 2, (l + 1) % 2
-                    if l + 1 < 5:
-                        start_w3(slot3_ref[tok, l + 1], nxt)
-                    wait_w3(slot3_ref[tok, l], cur)
                     res = jnp.maximum(
-                        conv3x3_flat(flat, cur, slot3_ref[tok, l], dil, G8), 0.0
+                        conv3x3_flat(flat, slot3_ref[tok, l], dil, G8), 0.0
                     )
                     if l + 1 < 5:
                         flat = refold(res, G8).astype(dtype)
@@ -406,16 +395,11 @@ def _interpreter_kernel(
             @pl.when(do_chain & (kind != RELATE))
             def _():
                 # attention/query: straight-line 2-layer chain
-                start_w3(slot3_ref[tok, 0], 0)
                 flat = to_flat((x * out_reg[...]).astype(jnp.float32), G1).astype(dtype)
                 res = None
                 for l in range(2):
-                    cur, nxt = l % 2, (l + 1) % 2
-                    if l + 1 < 2:
-                        start_w3(slot3_ref[tok, l + 1], nxt)
-                    wait_w3(slot3_ref[tok, l], cur)
                     res = jnp.maximum(
-                        conv3x3_flat(flat, cur, slot3_ref[tok, l], 1, G1), 0.0
+                        conv3x3_flat(flat, slot3_ref[tok, l], 1, G1), 0.0
                     )
                     if l + 1 < 2:
                         flat = refold(res, G1).astype(dtype)
@@ -438,7 +422,6 @@ def _interpreter_kernel(
             @pl.when(do_cmp)
             def _():
                 cs = cmp_slot_ref[tok]
-                start_w3(slot3_ref[tok, 0], 0)
                 wc = wcmp_ref[cs]  # (2C, C)
                 proj = (
                     jnp.dot(out_reg[...], wc[:C], preferred_element_type=jnp.float32)
@@ -448,12 +431,8 @@ def _interpreter_kernel(
                 flat = to_flat(jnp.maximum(proj, 0.0), G1).astype(dtype)
                 res = None
                 for l in range(2):
-                    cur, nxt = l % 2, (l + 1) % 2
-                    if l + 1 < 2:
-                        start_w3(slot3_ref[tok, l + 1], nxt)
-                    wait_w3(slot3_ref[tok, l], cur)
                     res = jnp.maximum(
-                        conv3x3_flat(flat, cur, slot3_ref[tok, l], 1, G1), 0.0
+                        conv3x3_flat(flat, slot3_ref[tok, l], 1, G1), 0.0
                     )
                     if l + 1 < 2:
                         flat = refold(res, G1).astype(dtype)
@@ -519,7 +498,7 @@ def execute_programs_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # w3 (large; stays in HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3 bank (VMEM-resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
@@ -537,9 +516,7 @@ def execute_programs_pallas(
             pltpu.VMEM((H * W, C), stem_feats.dtype),            # out_reg
             pltpu.VMEM((H * W, C), stem_feats.dtype),            # saved_reg
             pltpu.VMEM((H * W, C), jnp.float32),                 # acc
-            pltpu.VMEM((2, 9 * C, C), banks["w3"].dtype),        # w3 double buffer
             pltpu.SMEM((4,), jnp.int32),                         # tags
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -550,6 +527,9 @@ def execute_programs_pallas(
             jax.ShapeDtypeStruct((B, H, W, C), stem_feats.dtype),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ],
+        # The unified 3x3 bank is VMEM-resident (22 MB bf16 at CLEVR scale) —
+        # raise the default 16 MB scoped-VMEM budget.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         tokens_rev,
@@ -610,9 +590,8 @@ def _interpreter_bwd_kernel(
     g_out,           # (HW, C) f32 — gradient wrt the out register
     g_saved,         # (HW, C) f32
     dx_acc,          # (HW, C) f32 — gradient wrt stem features (this example)
-    w3_buf,          # (2, 9C, C) dtype — weight double buffer
     dw3_acc,         # (9C, C) f32 — RMW staging for dw3
-    sems,            # DMA semaphores (4,): 0/1 = w3 double buffer, 2 = dw3 r, 3 = dw3 w
+    sems,            # DMA semaphores (2,): 0 = dw3 read, 1 = dw3 write
 ):
     r"""Backward pass of the fused interpreter: replay-and-reverse per example.
 
@@ -654,24 +633,18 @@ def _interpreter_bwd_kernel(
         dbc_ref[...] = jnp.zeros_like(dbc_ref)
         dw3_acc[...] = jnp.zeros_like(dw3_acc)
         for s in range(S3):  # static loop: DMA-zero the HBM grad bank
-            cp = pltpu.make_async_copy(dw3_acc, dw3_ref.at[s], sems.at[3])
+            cp = pltpu.make_async_copy(dw3_acc, dw3_ref.at[s], sems.at[1])
             cp.start()
             cp.wait()
 
     # --- shared helpers --------------------------------------------------------
-    def start_w3(slot, buf):
-        pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).start()
-
-    def wait_w3(slot, buf):
-        pltpu.make_async_copy(w3_ref.at[slot], w3_buf.at[buf], sems.at[buf]).wait()
-
     fh = _flat_conv_helpers(H, W, C)
     G1, G8 = fh["G1"], fh["G8"]
     to_flat, compact_out = fh["to_flat"], fh["compact"]
 
-    def conv_flat(flat_vals, buf, bias_slot, dilation: int, g):
-        return fh["conv"](flat_vals, w3_buf, buf, dilation, g) + b3_ref[
-            bias_slot
+    def conv_flat(flat_vals, slot, dilation: int, g):
+        return fh["conv"](flat_vals, w3_ref, slot, dilation, g) + b3_ref[
+            slot
         ][0:1, :C].astype(f32)
 
     lanes128 = jax.lax.broadcasted_iota(jnp.int32, (HW, 128), 1)
@@ -719,7 +692,7 @@ def _interpreter_bwd_kernel(
         gz_sl = to_flat(g_z, g)[g["base"]:g["base"] + g["sl"], :].astype(dtype)
         d = dilation
         # dw3[slot] += tap_slice(inp)^T @ g_z per tap (HBM read-modify-write).
-        rd = pltpu.make_async_copy(dw3_ref.at[slot], dw3_acc, sems.at[2])
+        rd = pltpu.make_async_copy(dw3_ref.at[slot], dw3_acc, sems.at[0])
         rd.start()
         rd.wait()
         dparts = []
@@ -731,20 +704,18 @@ def _interpreter_bwd_kernel(
                     (((0,), (0,)), ((), ())), preferred_element_type=f32,
                 ))
         dw3_acc[...] = dw3_acc[...] + jnp.concatenate(dparts, axis=0)
-        wr = pltpu.make_async_copy(dw3_acc, dw3_ref.at[slot], sems.at[3])
+        wr = pltpu.make_async_copy(dw3_acc, dw3_ref.at[slot], sems.at[1])
         wr.start()
         wr.wait()
         # Input grad: g_inp[p + off_k] += (g_z @ W_k^T)[p], accumulated as 9
         # shifted pads of the per-tap back-projections in flat space.
-        start_w3(slot, 0)
-        wait_w3(slot, 0)
         ginp_flat = jnp.zeros((g["flat"], C), f32)
         for ky in range(3):
             for kx in range(3):
                 k = ky * 3 + kx
                 start = g["base"] + (ky - 1) * d * g["pitch"] + (kx - 1) * d
                 gW = jax.lax.dot_general(
-                    gz_sl, w3_buf[0, k * C:(k + 1) * C, :],
+                    gz_sl, w3_ref[slot, k * C:(k + 1) * C, :],
                     (((1,), (1,)), ((), ())), preferred_element_type=f32,
                 )
                 ginp_flat = ginp_flat + jnp.pad(
@@ -758,14 +729,8 @@ def _interpreter_bwd_kernel(
         (compact f32 per layer); the reverse sweep backprops from them."""
         L = len(dils)
         for l in range(L):
-            cur, nxt = l % 2, (l + 1) % 2
-            if l == 0:
-                start_w3(slot3_ref[tok, 0], 0)
-            if l + 1 < L:
-                start_w3(slot3_ref[tok, l + 1], nxt)
-            wait_w3(slot3_ref[tok, l], cur)
             flat = to_flat(acts[l], g).astype(dtype)
-            z = conv_flat(flat, cur, slot3_ref[tok, l], dils[l], g)
+            z = conv_flat(flat, slot3_ref[tok, l], dils[l], g)
             acts[l + 1] = compact_out(jnp.maximum(z, 0.0), g)
         return L
 
@@ -1062,7 +1027,7 @@ def _execute_bwd_pallas(
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # w3 (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3 bank (VMEM-resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
@@ -1093,15 +1058,15 @@ def _execute_bwd_pallas(
             pltpu.VMEM((H * W, C), f32),                         # g_out
             pltpu.VMEM((H * W, C), f32),                         # g_saved
             pltpu.VMEM((H * W, C), f32),                         # dx_acc
-            pltpu.VMEM((2, 9 * C, C), banks["w3"].dtype),        # w3 double buffer
             pltpu.VMEM((9 * C, C), f32),                         # dw3_acc
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     outs = pl.pallas_call(
         _interpreter_bwd_kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, C), f32),
             jax.ShapeDtypeStruct((S3, 9 * C, C), f32),
