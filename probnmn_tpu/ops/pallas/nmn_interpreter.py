@@ -14,10 +14,11 @@ This kernel executes each example's program *exactly*:
   kind, bank slots and chain length are scalar table lookups;
 - only the branch for the step's module kind runs (``@pl.when`` predication) —
   a pad/scene/and/or step costs ~nothing, a filter costs exactly its 3 convs;
-- the large unified 3x3 conv bank stays in HBM; each chain layer's (9C, C)
-  weights are DMA'd by slot index into a VMEM double buffer (next layer's DMA
-  overlaps the current layer's matmul). All small banks (1x1 heads, compare
-  projections, biases) are VMEM-resident and indexed directly;
+- ALL weight banks are VMEM-resident for the kernel's lifetime — the unified
+  3x3 bank is 22 MB bf16 at CLEVR scale (v5e has ~128 MB VMEM), so each chain
+  layer's (9C, C) weights are read by slot index directly, with no per-token
+  DMA at all (the backward keeps an HBM read-modify-write only for the
+  GRADIENT bank);
 - a 3x3 conv at STATIC dilation d keeps the image as a row-pitched flat VALUE
   (16-wide pitch for d=1 chains, 32-wide for relate's dilations, pad columns
   between rows) so each tap is a STATIC contiguous slice streamed straight to
