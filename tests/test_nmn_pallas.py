@@ -208,3 +208,52 @@ def test_tri_implementation_forward_fuzz(setup):
     np.testing.assert_allclose(
         np.asarray(fast["answer_logits"]), tlogits.numpy(), atol=1e-4
     )
+
+
+def test_flat_conv_geometry_matches_lax_conv():
+    r"""Unit-test the flat-layout 9-dot conv machinery directly: for every
+    dilation the relate chain uses (1, 2, 4, 8), a single conv through
+    ``_flat_conv_helpers`` must equal ``lax.conv_general_dilated`` with SAME
+    padding on a random image (the program-level fuzz covers these only
+    through full chains)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from probnmn_tpu.ops.pallas.nmn_interpreter import _flat_conv_helpers
+
+    H = W = 14
+    C = 128
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(H * W, C).astype(np.float32))
+    w9 = jnp.asarray(rs.randn(1, 9 * C, C).astype(np.float32) * 0.05)
+
+    for dil, gname in ((1, "G1"), (2, "G8"), (4, "G8"), (8, "G8")):
+
+        def kern(x_ref, w_ref, o_ref, _dil=dil, _gname=gname):
+            # the helpers build iota masks, which must trace inside the kernel
+            fh = _flat_conv_helpers(H, W, C)
+            g = fh[_gname]
+            flat = fh["to_flat"](x_ref[:], g)
+            out = fh["conv"](flat, w_ref, 0, _dil, g)
+            o_ref[:] = fh["compact"](out, g)
+
+        got = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((H * W, C), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=True,
+        )(img, w9)
+
+        # reference: lax conv with SAME padding at this dilation. The bank
+        # rows are [tap k rows kC:(k+1)C] with taps in (ky, kx) row-major
+        # order, i.e. HWIO weights.
+        lhs = img.reshape(1, H, W, C)
+        rhs = w9[0].reshape(3, 3, C, C)
+        want = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1), padding="SAME",
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0].reshape(H * W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=f"dilation {dil}")
