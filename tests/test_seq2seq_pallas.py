@@ -165,3 +165,23 @@ def test_shard_map_sampling_dp_matches_single_device():
         compute_dtype=jnp.float32, batch_block=2, noise=noise, interpret=True,
     )["predictions"]
     np.testing.assert_array_equal(np.asarray(preds_dp), np.asarray(single))
+
+
+def test_serving_dispatcher_falls_back_to_scan_off_tpu():
+    r"""``sampling_forward_serving`` must use the XLA scan path on non-TPU
+    backends (same outputs as ``seq2seq_forward`` for the same key) and keep
+    the fused-path gate false here."""
+    from probnmn_tpu.models.seq2seq import (
+        fast_sampling_available,
+        sampling_forward_serving,
+    )
+
+    assert jax.default_backend() == "cpu"
+    assert not fast_sampling_available(SPEC)
+    params = init_seq2seq_params(jax.random.PRNGKey(0), SPEC)
+    src = _random_batch(seed=21)
+    rng = jax.random.PRNGKey(9)
+    out = sampling_forward_serving(params, SPEC, src, rng)
+    ref = seq2seq_forward(params, SPEC, src, None, "sampling", rng)
+    np.testing.assert_array_equal(out["predictions"], ref["predictions"])
+    np.testing.assert_allclose(out["loss"], ref["loss"], atol=1e-6)
