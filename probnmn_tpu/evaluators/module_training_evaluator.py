@@ -68,6 +68,8 @@ class ModuleTrainingEvaluator(_Evaluator):
 
         self._eval_step = jax.jit(eval_step)
 
+        mesh = getattr(trainer, "mesh", None)
+
         def fast_step(banks, tables, stem_p, cls_p, pg_params, batch):
             pg_out = seq2seq_forward(
                 pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
@@ -75,6 +77,7 @@ class ModuleTrainingEvaluator(_Evaluator):
             return nmn_lib.fast_forward_from_tables(
                 banks, tables, self._nmn_spec, stem_p, cls_p,
                 image_to_nhwc(batch["image"]), pg_out["predictions"], batch["answer"],
+                mesh=mesh,
             )
 
         self._fast_step = jax.jit(fast_step)

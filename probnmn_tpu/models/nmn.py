@@ -501,17 +501,25 @@ def nmn_forward_fast(
     programs: jax.Array,
     answers: Optional[jax.Array] = None,
     interpret: bool = False,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     r"""Same contract as :func:`nmn_forward`, but the program interpreter is the
     fused Pallas kernel with its replay-and-reverse backward kernel — fully
     differentiable wrt ``params`` (cotangents scatter back through the traced
     bank stacking) and ``features``. This is the production TRAINING path on
     TPU; gradients match :func:`nmn_forward` (tested in interpret mode against
-    the XLA machine, which is itself validated against the torch fixture)."""
+    the XLA machine, which is itself validated against the torch fixture).
+
+    With ``mesh`` the interpreter runs per-device on its batch shard via
+    shard_map (Pallas custom calls cannot auto-partition under GSPMD) — the
+    TPU-native form of the reference's DataParallel wrapping of the NMN
+    (reference ``_trainer.py:98-100``); the surrounding stem/classifier
+    partition under GSPMD as usual."""
     from probnmn_tpu.ops.pallas.nmn_interpreter import (
         build_banks,
         build_tables,
         execute_programs_pallas_diff,
+        execute_programs_pallas_diff_dp,
     )
 
     dtype = jnp.dtype(spec.compute_dtype)
@@ -521,9 +529,14 @@ def nmn_forward_fast(
         jax.tree_util.tree_map(lambda x: x.astype(dtype), params["stem"]),
         features.astype(dtype),
     )
-    final, invalid = execute_programs_pallas_diff(
-        banks, tables, spec, stem_feats, programs, interpret=interpret
-    )
+    if mesh is not None:
+        final, invalid = execute_programs_pallas_diff_dp(
+            mesh, banks, tables, spec, stem_feats, programs, interpret=interpret
+        )
+    else:
+        final, invalid = execute_programs_pallas_diff(
+            banks, tables, spec, stem_feats, programs, interpret=interpret
+        )
     logits = apply_classifier(
         jax.tree_util.tree_map(lambda x: x.astype(dtype), params["classifier"]), final
     ).astype(jnp.float32)
@@ -540,24 +553,35 @@ def fast_forward_from_tables(
     programs: jax.Array,
     answers: Optional[jax.Array] = None,
     interpret: bool = False,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     r"""Fused-Pallas forward as a pure function of arrays.
 
     Unlike :func:`make_fast_inference_fn` (which closes over a parameter
     snapshot), every tensor is an argument here, so one ``jax.jit`` of this
     function stays cached across parameter updates — evaluators rebuild the
-    banks each validation without recompiling.
+    banks each validation without recompiling. With ``mesh`` the interpreter
+    runs per-device on its batch shard via shard_map (see
+    :func:`nmn_forward_fast`).
     """
-    from probnmn_tpu.ops.pallas.nmn_interpreter import execute_programs_pallas
+    from probnmn_tpu.ops.pallas.nmn_interpreter import (
+        execute_programs_pallas,
+        execute_programs_pallas_dp,
+    )
 
     dtype = banks["w3"].dtype
     stem_feats = apply_stem(
         jax.tree_util.tree_map(lambda x: x.astype(dtype), stem_params),
         features.astype(dtype),
     )
-    final, invalid = execute_programs_pallas(
-        banks, tables, spec, stem_feats, programs, interpret=interpret
-    )
+    if mesh is not None:
+        final, invalid = execute_programs_pallas_dp(
+            mesh, banks, tables, spec, stem_feats, programs, interpret=interpret
+        )
+    else:
+        final, invalid = execute_programs_pallas(
+            banks, tables, spec, stem_feats, programs, interpret=interpret
+        )
     logits = apply_classifier(
         jax.tree_util.tree_map(lambda x: x.astype(dtype), classifier_params), final
     ).astype(jnp.float32)

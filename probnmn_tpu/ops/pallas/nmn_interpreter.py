@@ -1151,3 +1151,51 @@ def execute_programs_pallas_diff(
     is what makes module/joint training run at serving-path speed."""
     del spec  # shapes come from the arrays
     return _execute_diff(interpret, banks, tables, stem_feats, programs)
+
+
+# ===================================================== data-parallel wrappers
+def _dp(fn, mesh):
+    r"""shard_map a per-example interpreter call over the mesh's ``data`` axis.
+
+    The interpreter kernel is a per-example map (grid over the batch, no
+    cross-example math), so batch sharding needs no collectives: banks/tables
+    replicate, the stem features and programs shard, and each device runs its
+    own kernel instance on its shard. Pallas custom calls cannot auto-partition
+    under GSPMD — without this wrapper a >1-chip mesh would fail to partition
+    the module/joint training step (the capability the reference gets from
+    ``nn.DataParallel`` wrapping every model, reference ``_trainer.py:98-100``).
+    Same pattern as ``ops/pallas/seq2seq_train.py``'s ``_dp``; verified
+    bit-exact vs the single-device call in ``tests/test_nmn_pallas.py``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data = P(mesh.axis_names[0])
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), data, data),
+        out_specs=(data, data),
+        check_vma=False,
+    )
+
+
+def execute_programs_pallas_dp(
+    mesh, banks, tables, spec, stem_feats, programs, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    r"""Data-parallel :func:`execute_programs_pallas` (inference/eval path)."""
+    fn = lambda b, t, s, pr: execute_programs_pallas(b, t, spec, s, pr,
+                                                     interpret=interpret)
+    return _dp(fn, mesh)(banks, tables, stem_feats, programs)
+
+
+def execute_programs_pallas_diff_dp(
+    mesh, banks, tables, spec, stem_feats, programs, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    r"""Data-parallel :func:`execute_programs_pallas_diff` (training path).
+
+    The custom VJP applies per shard: each device replays and reverses its own
+    examples; cotangents of the replicated banks are psummed across the data
+    axis by the shard_map transpose (the backward kernel's bank-gradient
+    accumulation stays per-device)."""
+    fn = lambda b, t, s, pr: _execute_diff(interpret, b, t, s, pr)
+    return _dp(fn, mesh)(banks, tables, stem_feats, programs)

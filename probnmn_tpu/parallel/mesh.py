@@ -41,18 +41,30 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def auto_mesh(num_devices: Optional[int] = None, batch_size: Optional[int] = None) -> Optional[Mesh]:
+def auto_mesh(
+    num_devices: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    model_parallel: int = 1,
+) -> Optional[Mesh]:
     r"""Production-trainer mesh policy (replaces the reference's ``--gpu-ids``
     DataParallel, reference ``_trainer.py:92-100``): ``None``/1 -> single device
     (no mesh), 0 -> all devices, N -> N devices; the data axis is clamped to the
     largest count dividing ``batch_size`` (batches shard evenly — XLA collectives
-    need equal shards, unlike torch DataParallel's ragged scatter)."""
+    need equal shards, unlike torch DataParallel's ragged scatter).
+    ``model_parallel`` > 1 reserves that many devices per data shard for the
+    'model' axis (NMN bank expert-parallelism / classifier sharding — see
+    ``_param_spec``); it must divide ``num_devices`` or it falls back to 1."""
     n = len(jax.devices()) if num_devices == 0 else (num_devices or 1)
     n = min(n, len(jax.devices()))
+    if n <= 1:
+        return None
+    mp = model_parallel if model_parallel > 0 and n % model_parallel == 0 else 1
+    data = n // mp
     if batch_size is not None:
-        while n > 1 and batch_size % n != 0:
-            n -= 1
-    return make_mesh(n) if n > 1 else None
+        while data > 1 and batch_size % data != 0:
+            data -= 1
+    n = data * mp
+    return make_mesh(n, model_parallel=mp) if n > 1 else None
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

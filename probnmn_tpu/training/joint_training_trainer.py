@@ -47,6 +47,7 @@ class JointTrainingTrainer(_Trainer):
         cpu_workers: int = 0,
         in_memory_features: bool = True,
         num_devices=None,
+        model_parallel: int = 1,
     ):
         if config.PHASE != "joint_training":
             raise ValueError(f"Expected PHASE joint_training, found {config.PHASE}")
@@ -62,7 +63,7 @@ class JointTrainingTrainer(_Trainer):
         sampler = SupervisionWeightedRandomSampler(
             dataset.get_supervision_list(), seed=config.RANDOM_SEED
         )
-        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE, model_parallel)
         batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE,
                                 sharding=batch_sharding(mesh) if mesh else None)
 
@@ -119,11 +120,14 @@ class JointTrainingTrainer(_Trainer):
         objective = self._C.OBJECTIVE
         # Fused-Pallas differentiable interpreter on TPU (custom-VJP backward
         # kernel); XLA register machine elsewhere — identical semantics/grads.
-        nmn_forward = (
-            nmn_lib.nmn_forward_fast
-            if nmn_lib.fast_training_available(nmn_spec)
-            else nmn_lib.nmn_forward
-        )
+        # On a mesh the fused interpreter runs per-device on its batch shard
+        # via shard_map (Pallas calls cannot auto-partition under GSPMD).
+        if nmn_lib.fast_training_available(nmn_spec):
+            from functools import partial
+
+            nmn_forward = partial(nmn_lib.nmn_forward_fast, mesh=self._mesh)
+        else:
+            nmn_forward = nmn_lib.nmn_forward
         # Fused Pallas seq2seq fwd+bwd on TPU (see question_coding_trainer for
         # the rationale); on a mesh each per-example kernel runs per-device on
         # its batch shard via shard_map.

@@ -32,6 +32,7 @@ class ModuleTrainingTrainer(_Trainer):
         cpu_workers: int = 0,
         in_memory_features: bool = True,
         num_devices=None,
+        model_parallel: int = 1,
     ):
         if config.PHASE != "module_training":
             raise ValueError(f"Expected PHASE module_training, found {config.PHASE}")
@@ -40,7 +41,7 @@ class ModuleTrainingTrainer(_Trainer):
         dataset = ModuleTrainingDataset(
             config.DATA.TRAIN_TOKENS, config.DATA.TRAIN_FEATURES, in_memory=in_memory_features
         )
-        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE, model_parallel)
         batches = BatchIterator(
             dataset,
             RandomSampler(len(dataset), seed=config.RANDOM_SEED),
@@ -71,11 +72,14 @@ class ModuleTrainingTrainer(_Trainer):
         nmn_spec, pg_spec, tx = self.nmn_spec, self.pg_spec, self._tx
         # Fused-Pallas differentiable interpreter on TPU (custom-VJP backward
         # kernel); XLA register machine elsewhere — identical semantics/grads.
-        nmn_forward = (
-            nmn_lib.nmn_forward_fast
-            if nmn_lib.fast_training_available(nmn_spec)
-            else nmn_lib.nmn_forward
-        )
+        # On a mesh the fused interpreter runs per-device on its batch shard
+        # via shard_map (Pallas calls cannot auto-partition under GSPMD).
+        if nmn_lib.fast_training_available(nmn_spec):
+            from functools import partial
+
+            nmn_forward = partial(nmn_lib.nmn_forward_fast, mesh=self._mesh)
+        else:
+            nmn_forward = nmn_lib.nmn_forward
 
         # The generator is frozen here, so sampling needs no gradient: the
         # fused Pallas sampling kernel serves it on TPU (per-shard via

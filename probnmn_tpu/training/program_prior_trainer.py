@@ -35,13 +35,13 @@ def make_prior_spec(config: Config, vocabulary: Vocabulary) -> ProgramPriorSpec:
 
 class ProgramPriorTrainer(_Trainer):
     def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0,
-                 num_devices=None):
+                 num_devices=None, model_parallel: int = 1):
         if config.PHASE != "program_prior":
             raise ValueError(f"Expected PHASE program_prior, found {config.PHASE}")
 
         vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         dataset = ProgramPriorDataset(config.DATA.TRAIN_TOKENS)
-        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE, model_parallel)
         batches = BatchIterator(
             dataset,
             RandomSampler(len(dataset), seed=config.RANDOM_SEED),

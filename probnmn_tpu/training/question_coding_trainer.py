@@ -36,7 +36,7 @@ from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
 class QuestionCodingTrainer(_Trainer):
     def __init__(self, config: Config, serialization_dir: str, cpu_workers: int = 0,
-                 num_devices=None):
+                 num_devices=None, model_parallel: int = 1):
         if config.PHASE != "question_coding":
             raise ValueError(f"Expected PHASE question_coding, found {config.PHASE}")
 
@@ -49,7 +49,7 @@ class QuestionCodingTrainer(_Trainer):
         sampler = SupervisionWeightedRandomSampler(
             dataset.get_supervision_list(), seed=config.RANDOM_SEED
         )
-        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE)
+        mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE, model_parallel)
         batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE,
                                 sharding=batch_sharding(mesh) if mesh else None)
 

@@ -51,6 +51,13 @@ parser.add_argument(
     "0 = all visible devices, N = first N devices; batches shard over the mesh "
     "and GSPMD all-reduces gradients over ICI.",
 )
+parser.add_argument(
+    "--model-parallel",
+    type=int,
+    default=1,
+    help="Devices per data shard reserved for the 'model' mesh axis (NMN bank "
+    "expert-parallelism / classifier sharding); must divide --num-devices.",
+)
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--serialization-dir", default="checkpoints/experiment")
 parser.add_argument("--checkpoint-every", type=int, default=500)
@@ -90,7 +97,7 @@ def main(args):
 
     trainer = TRAINERS[args.phase](
         config, serialization_dir=args.serialization_dir, cpu_workers=args.cpu_workers,
-        num_devices=args.num_devices,
+        num_devices=args.num_devices, model_parallel=args.model_parallel,
     )
     evaluator = EVALUATORS[args.phase](config, trainer)
 

@@ -210,6 +210,90 @@ def test_tri_implementation_forward_fuzz(setup):
     )
 
 
+def test_shard_map_nmn_dp_matches_single_device(setup):
+    r"""``nmn_forward_fast(mesh=...)`` (per-device fused interpreter kernels on
+    batch shards via shard_map) must match the single-device call — forward
+    bit-exact, every gradient leaf at tolerance. This is what lets the fused
+    NMN run under the production mesh in module/joint training (the capability
+    the reference gets from DataParallel wrapping the NMN, ``_trainer.py:98-100``);
+    Pallas custom calls cannot auto-partition under GSPMD."""
+    from jax.sharding import Mesh
+
+    vocab, spec, params = setup
+    rs = np.random.RandomState(31)
+    V = vocab.get_vocab_size("programs")
+    B, T = 16, 9
+    programs = jnp.asarray(rs.randint(0, V, (B, T)).astype(np.int64))
+    feats = jnp.asarray(
+        rs.randn(B, spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    answers = jnp.asarray(rs.randint(0, spec.num_answers, (B,)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
+
+    def fwd(p, mesh_arg):
+        return nmn.nmn_forward_fast(
+            p, spec, feats, programs, answers, interpret=True, mesh=mesh_arg
+        )
+
+    out_dp = jax.jit(lambda p: fwd(p, mesh))(params)
+    out_1d = fwd(params, None)
+    np.testing.assert_array_equal(
+        np.asarray(out_dp["invalid"]), np.asarray(out_1d["invalid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_dp["loss"]), np.asarray(out_1d["loss"])
+    )
+
+    g_dp = jax.grad(lambda p: fwd(p, mesh)["loss"].mean())(params)
+    g_1d = jax.grad(lambda p: fwd(p, None)["loss"].mean())(params)
+    # Bank cotangents are psummed across shards; reduction order differs from
+    # the single-device sequential-grid accumulation, hence tolerance not bitwise.
+    for (path_a, va), (_, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_dp)[0],
+        jax.tree_util.tree_flatten_with_path(g_1d)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=5e-6,
+            err_msg=jax.tree_util.keystr(path_a),
+        )
+
+
+def test_shard_map_nmn_inference_dp_matches_single_device(setup):
+    r"""``fast_forward_from_tables(mesh=...)`` — the evaluators' mesh path —
+    matches the single-device fused inference call bit-exactly."""
+    from jax.sharding import Mesh
+
+    vocab, spec, params = setup
+    rs = np.random.RandomState(37)
+    V = vocab.get_vocab_size("programs")
+    B, T = 16, 9
+    programs = jnp.asarray(rs.randint(0, V, (B, T)).astype(np.int64))
+    feats = jnp.asarray(
+        rs.randn(B, spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    answers = jnp.asarray(rs.randint(0, spec.num_answers, (B,)))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
+
+    banks, tables = build_kernel_tables(params, spec, dtype=jnp.float32)
+    out_dp = jax.jit(lambda b, t: nmn.fast_forward_from_tables(
+        b, t, spec, params["stem"], params["classifier"], feats, programs,
+        answers, interpret=True, mesh=mesh,
+    ))(banks, tables)
+    out_1d = nmn.fast_forward_from_tables(
+        banks, tables, spec, params["stem"], params["classifier"], feats,
+        programs, answers, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_dp["invalid"]), np.asarray(out_1d["invalid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_dp["predictions"]), np.asarray(out_1d["predictions"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_dp["loss"]), np.asarray(out_1d["loss"])
+    )
+
+
 def test_flat_conv_geometry_matches_lax_conv():
     r"""Unit-test the flat-layout 9-dot conv machinery directly: for every
     dilation the relate chain uses (1, 2, 4, 8), a single conv through

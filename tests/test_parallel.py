@@ -140,6 +140,55 @@ def test_train_cli_runs_on_mesh(tmp_path):
     assert os.path.exists(os.path.join(root, "cli_run", "checkpoint_3.ckpt"))
 
 
+def test_module_trainer_fused_nmn_on_mesh_matches_single_device(tmp_path, monkeypatch):
+    """The production ModuleTrainingTrainer routes the FUSED Pallas NMN
+    interpreter through shard_map when a mesh is active (forced here via
+    interpret mode on the CPU mesh) and reproduces single-device losses —
+    the flagship training step's multi-chip path, end to end."""
+    import os
+    from functools import partial
+
+    from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+    from probnmn_tpu.data.vocabulary import Vocabulary
+    from probnmn_tpu.models import nmn as nmn_lib
+    from probnmn_tpu.models import program_generator
+    from probnmn_tpu.training.module_training_trainer import ModuleTrainingTrainer
+    from probnmn_tpu.utils.checkpointing import save_objects
+
+    root = str(tmp_path)
+    build_fixture_data(root)
+    config = make_fixture_config(root, "module_training")
+
+    # Synthesize the frozen-PG question_coding checkpoint this phase loads.
+    vocab = Vocabulary.from_files(config.DATA.VOCABULARY)
+    pg_spec = program_generator.make_spec(vocab, config)
+    pg_params = program_generator.init_params(jax.random.PRNGKey(3), pg_spec)
+    save_objects(
+        os.path.join(root, "question_coding_best.ckpt"),
+        {"program_generator": pg_params},
+    )
+
+    # Force the fused path on CPU: interpret-mode kernels, availability on.
+    monkeypatch.setattr(nmn_lib, "fast_training_available", lambda spec: True)
+    monkeypatch.setattr(
+        nmn_lib, "nmn_forward_fast", partial(nmn_lib.nmn_forward_fast, interpret=True)
+    )
+
+    losses = {}
+    for nd in (None, 8):
+        np.random.seed(config.RANDOM_SEED)
+        trainer = ModuleTrainingTrainer(
+            config, os.path.join(root, f"fused_{nd}"), num_devices=nd
+        )
+        assert (trainer.mesh is not None) == (nd == 8)
+        ls = []
+        for _ in range(2):
+            logs = trainer._do_iteration(next(trainer._batches))
+            ls.append(float(logs["loss"]))
+        losses[nd] = ls
+    np.testing.assert_allclose(losses[None], losses[8], rtol=2e-4)
+
+
 def test_auto_mesh_policy():
     from probnmn_tpu.parallel.mesh import auto_mesh
 
