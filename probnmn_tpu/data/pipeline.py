@@ -15,6 +15,8 @@ step (`image_to_nhwc`) where it fuses for free — a host-side transpose of
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
@@ -77,14 +79,42 @@ class BatchIterator:
             for batch in it:
                 yield self._put(batch)
             return
-        # Stay `prefetch` device batches ahead; async dispatch overlaps H2D with compute.
-        queue = []
-        for batch in it:
-            queue.append(self._put(batch))
-            if len(queue) > self._prefetch:
-                yield queue.pop(0)
-        while queue:
-            yield queue.pop(0)
+        # Background worker thread: the host gather (h5py reads for streaming
+        # feature files, fancy-index copies) AND the device_put dispatch run off
+        # the consumer thread, bounded by a `prefetch`-deep queue. This is the
+        # TPU-native form of the reference's multi-worker DataLoader
+        # (reference scripts/train.py:52-54) — essential with in_memory=False,
+        # where each batch costs a 50-100 GB-file h5py fancy-index read
+        # (reference readers.py:86) that would otherwise block the train step.
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in it:
+                    if stop.is_set():
+                        return
+                    q.put(self._put(batch))
+            except BaseException as e:  # surface reader errors on the consumer
+                q.put(e)
+
+        thread = threading.Thread(
+            target=worker, daemon=True, name="probnmn-batch-prefetch"
+        )
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Unblock a worker stuck in q.put so it can observe `stop`.
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 class EpochIterator:
