@@ -271,3 +271,49 @@ def test_program_prior_sample():
     assert out["predictions"].shape == (6, 9)
     loss = np.asarray(out["loss"])
     assert (np.diff(loss) >= -1e-6).all()  # sorted ascending
+
+
+def test_program_prior_sample_quirk_matches_torch_fixture():
+    """Numerical fixture for the reference's ``sample()`` quirk
+    (reference ``program_prior.py:246``): per-step logprobs come from
+    ``log_softmax`` over the PRE-output-layer projection activations (width
+    ``input_size``), gathered at the sampled vocab index — NOT from the vocab
+    logits. The torch fixture recomputes the length-normalized sequence loss
+    for the jax-sampled sequences under shared tokens (teacher-forced replay:
+    every unmasked step's inputs are preserved by @end@-trimming)."""
+    spec = ProgramPriorSpec(vocab_size=12, input_size=16, hidden_size=9, num_layers=2)
+    params = init_program_prior_params(jax.random.PRNGKey(0), spec)
+    out = program_prior_sample(
+        params, spec, jax.random.PRNGKey(5), num_samples=8, max_sequence_length=10
+    )
+    preds = torch.tensor(np.asarray(out["predictions"], np.int64))
+    mask = (preds != PAD).float()
+    # @end@ sampled at step 0 trims to an all-pad row (reference's
+    # ``if end_index > 0`` rule) whose loss is 0/(0+eps) = 0 under the shared
+    # formula below; require some real sequences so the check isn't vacuous.
+    assert (mask.sum(1) > 0).any()
+
+    fixture = TorchPriorFixture(params, spec)
+    inputs = torch.cat(
+        [torch.full((preds.shape[0], 1), START, dtype=torch.int64), preds[:, :-1]],
+        dim=1,
+    )
+    emb = fixture.emb[inputs] * (inputs != PAD).unsqueeze(-1)
+    enc, _ = fixture.encoder(emb)
+    projected = enc @ fixture.proj.T  # (B, T, input_size) pre-output-layer
+    quirk_lp = torch.log_softmax(projected, -1).gather(
+        -1, preds.unsqueeze(-1)
+    ).squeeze(-1)
+    expected_loss = -(quirk_lp * mask).sum(-1) / (mask.sum(-1) + 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out["loss"]), expected_loss.detach().numpy(), atol=1e-5
+    )
+
+    # The quirk is load-bearing: standard vocab-logit logprobs do NOT match.
+    logits = projected @ fixture.emb.T
+    std_lp = torch.log_softmax(logits, -1).gather(-1, preds.unsqueeze(-1)).squeeze(-1)
+    std_loss = -(std_lp * mask).sum(-1) / (mask.sum(-1) + 1e-12)
+    nondegenerate = np.asarray(mask.sum(1) > 0)
+    assert np.abs(
+        np.asarray(out["loss"]) - std_loss.detach().numpy()
+    )[nondegenerate].max() > 1e-3
