@@ -17,8 +17,9 @@ This kernel executes each example's program *exactly*:
 - ALL weight banks are VMEM-resident for the kernel's lifetime — the unified
   3x3 bank is 22 MB bf16 at CLEVR scale (v5e has ~128 MB VMEM), so each chain
   layer's (9C, C) weights are read by slot index directly, with no per-token
-  DMA at all (the backward keeps an HBM read-modify-write only for the
-  GRADIENT bank);
+  DMA at all; the backward's GRADIENT banks (incl. the ~45 MB f32 unified 3x3
+  grad bank) are likewise VMEM-resident accumulators written back once at
+  kernel end;
 - a 3x3 conv at STATIC dilation d keeps the image as a row-pitched flat VALUE
   (16-wide pitch for d=1 chains, 32-wide for relate's dilations, pad columns
   between rows) so each tap is a STATIC contiguous slice streamed straight to
@@ -569,7 +570,7 @@ def _interpreter_bwd_kernel(
     bcmp_ref,        # (Sc, 8, 128) VMEM
     # outputs
     dx_ref,          # (1, H, W, C) f32 per-example stem gradient
-    dw3_ref,         # (S3, 9C, C) f32 HBM, accumulated via DMA read-modify-write
+    dw3_ref,         # (S3, 9C, C) f32 VMEM-resident accumulator (constant map)
     db3_ref,         # (S3, 8, 128) f32 (row 0 = bias grads)
     dw1_ref,         # (S1, C, 128) f32 (col 0 meaningful; sliced to 8 outside)
     db1_ref,         # (S1, 8, 128) f32
@@ -591,8 +592,6 @@ def _interpreter_bwd_kernel(
     g_out,           # (HW, C) f32 — gradient wrt the out register
     g_saved,         # (HW, C) f32
     dx_acc,          # (HW, C) f32 — gradient wrt stem features (this example)
-    dw3_acc,         # (9C, C) f32 — RMW staging for dw3
-    sems,            # DMA semaphores (2,): 0 = dw3 read, 1 = dw3 write
 ):
     r"""Backward pass of the fused interpreter: replay-and-reverse per example.
 
@@ -606,17 +605,18 @@ def _interpreter_bwd_kernel(
     rematerialization) and backpropagating: conv backward uses the shared
     flat-layout machinery — 9 per-tap contract-dim0 dots for the weight grad
     and 9 shifted-pad accumulations of per-tap back-projections (g @ W_k^T)
-    for the input grad. The unified 3x3 weight-grad bank
-    stays in HBM and is accumulated by sequential-grid DMA read-modify-write;
-    all small bank grads accumulate in VMEM outputs with constant index maps.
+    for the input grad. ALL bank gradients — including the unified 3x3 bank
+    (~45 MB f32 at CLEVR scale, fitting VMEM alongside the 22 MB bf16 weight
+    bank) — accumulate in VMEM outputs with constant index maps and are
+    written back to HBM once at kernel end; there is no per-layer HBM
+    read-modify-write traffic at all (that DMA was ~2/3 of backward cost in
+    the round-2 kernel, PERF.md trajectory 41.9 -> 24 -> 16 -> this).
     """
     b = pl.program_id(0)
-    B = pl.num_programs(0)
     T = tokens_ref.shape[1]
     H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     HW = H * W
     dtype = x_ref.dtype
-    S3 = dw3_ref.shape[0]
     f32 = jnp.float32
 
     x = x_ref[0].reshape(HW, C)
@@ -624,6 +624,7 @@ def _interpreter_bwd_kernel(
     # --- zero the accumulated outputs on the first grid step ------------------
     @pl.when(b == 0)
     def _():
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
         db3_ref[...] = jnp.zeros_like(db3_ref)
         dw1_ref[...] = jnp.zeros_like(dw1_ref)
         db1_ref[...] = jnp.zeros_like(db1_ref)
@@ -632,11 +633,6 @@ def _interpreter_bwd_kernel(
         dsb_ref[...] = jnp.zeros_like(dsb_ref)
         dwc_ref[...] = jnp.zeros_like(dwc_ref)
         dbc_ref[...] = jnp.zeros_like(dbc_ref)
-        dw3_acc[...] = jnp.zeros_like(dw3_acc)
-        for s in range(S3):  # static loop: DMA-zero the HBM grad bank
-            cp = pltpu.make_async_copy(dw3_acc, dw3_ref.at[s], sems.at[1])
-            cp.start()
-            cp.wait()
 
     # --- shared helpers --------------------------------------------------------
     fh = _flat_conv_helpers(H, W, C)
@@ -681,9 +677,9 @@ def _interpreter_bwd_kernel(
 
     def conv_layer_bwd(g_a, slot, dilation: int, inp, outp, g):
         r"""Backward of relu(conv3x3(inp)) in the flat layout: per-tap
-        contract-dim0 dots for dw3 (HBM RMW) + db3, and shifted-pad
-        accumulation for the input grad. inp/outp are stored f32 activations
-        in the compact (HW, C) layout."""
+        contract-dim0 dots for dw3 (accumulated straight into the VMEM-resident
+        grad bank) + db3, and shifted-pad accumulation for the input grad.
+        inp/outp are stored f32 activations in the compact (HW, C) layout."""
         g_z = g_a * (outp > 0.0)
         colsum = jnp.sum(g_z, axis=0)  # (C,)
         db3_ref[slot] = db3_ref[slot] + row0_plane(
@@ -692,10 +688,7 @@ def _interpreter_bwd_kernel(
         inp_flat = to_flat(inp, g).astype(dtype)
         gz_sl = to_flat(g_z, g)[g["base"]:g["base"] + g["sl"], :].astype(dtype)
         d = dilation
-        # dw3[slot] += tap_slice(inp)^T @ g_z per tap (HBM read-modify-write).
-        rd = pltpu.make_async_copy(dw3_ref.at[slot], dw3_acc, sems.at[0])
-        rd.start()
-        rd.wait()
+        # dw3[slot] += tap_slice(inp)^T @ g_z per tap, straight into VMEM.
         dparts = []
         for ky in range(3):
             for kx in range(3):
@@ -704,10 +697,7 @@ def _interpreter_bwd_kernel(
                     inp_flat[start:start + g["sl"], :], gz_sl,
                     (((0,), (0,)), ((), ())), preferred_element_type=f32,
                 ))
-        dw3_acc[...] = dw3_acc[...] + jnp.concatenate(dparts, axis=0)
-        wr = pltpu.make_async_copy(dw3_acc, dw3_ref.at[slot], sems.at[1])
-        wr.start()
-        wr.wait()
+        dw3_ref[slot] = dw3_ref[slot] + jnp.concatenate(dparts, axis=0)
         # Input grad: g_inp[p + off_k] += (g_z @ W_k^T)[p], accumulated as 9
         # shifted pads of the per-tap back-projections in flat space.
         ginp_flat = jnp.zeros((g["flat"], C), f32)
@@ -1040,7 +1030,9 @@ def _execute_bwd_pallas(
         ],
         out_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # dw3 (HBM, RMW-accumulated)
+            # dw3: VMEM-resident accumulator (~45 MB f32 at CLEVR scale) with a
+            # constant index map — written back to HBM once at kernel end.
+            pl.BlockSpec((S3, 9 * C, C), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S3, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S1, C, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S1, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -1059,8 +1051,6 @@ def _execute_bwd_pallas(
             pltpu.VMEM((H * W, C), f32),                         # g_out
             pltpu.VMEM((H * W, C), f32),                         # g_saved
             pltpu.VMEM((H * W, C), f32),                         # dx_acc
-            pltpu.VMEM((9 * C, C), f32),                         # dw3_acc
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
