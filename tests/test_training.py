@@ -204,6 +204,94 @@ def test_evaluate_script(pipeline):
     evaluate.main(args)  # logs metrics; must not raise
 
 
+def test_verify_parity_all_phases_from_reference_pth(tmp_path):
+    """SURVEY §6 parity protocol, all FOUR phases: synthesize reference-format
+    .pth checkpoints (torch-serialized, reference key names — the v1.0 release
+    layout), point every cross-phase warm-start at them, and run the full
+    verify_parity port->evaluate->tolerance pipeline per phase. Matching
+    expectations pass; perturbed expectations fail."""
+    import json
+
+    import jax
+    from scripts import verify_parity
+    from probnmn_tpu.data.vocabulary import Vocabulary
+    from probnmn_tpu.models import nmn as nmn_lib
+    from tests.ref_checkpoints import (
+        make_nmn_state,
+        make_prior_state,
+        make_seq2seq_state,
+        save_reference_pth,
+    )
+
+    root = str(tmp_path)
+    build_fixture_data(root)
+    config = make_fixture_config(root, "program_prior")
+    vocab = Vocabulary.from_files(config.DATA.VOCABULARY)
+    q_v = vocab.get_vocab_size("questions")
+    p_v = vocab.get_vocab_size("programs")
+    D, H = config.PROGRAM_PRIOR.INPUT_SIZE, config.PROGRAM_PRIOR.HIDDEN_SIZE
+    nmn_spec = nmn_lib.make_spec(vocab, config)
+
+    pg_state = make_seq2seq_state(q_v, p_v, D, H, 1, seed=0)
+    qr_state = make_seq2seq_state(p_v, q_v, D, H, 1, seed=1)
+    nmn_state = make_nmn_state(vocab, nmn_spec, seed=2)
+    prior_pth = os.path.join(root, "program_prior_best.pth")
+    qc_pth = os.path.join(root, "question_coding_best.pth")
+    mt_pth = os.path.join(root, "module_training_best.pth")
+    jt_pth = os.path.join(root, "joint_training_best.pth")
+    save_reference_pth(prior_pth, {"program_prior": make_prior_state(p_v, D, H, 1, 3)})
+    save_reference_pth(qc_pth, {"program_generator": pg_state,
+                                "question_reconstructor": qr_state})
+    save_reference_pth(mt_pth, {"nmn": nmn_state})
+    save_reference_pth(jt_pth, {"program_generator": pg_state,
+                                "question_reconstructor": qr_state,
+                                "nmn": nmn_state})
+
+    ckpt_overrides = [
+        "CHECKPOINTS.PROGRAM_PRIOR", prior_pth,
+        "CHECKPOINTS.QUESTION_CODING", qc_pth,
+        "CHECKPOINTS.MODULE_TRAINING", mt_pth,
+    ]
+    phases = ("program_prior", "question_coding", "module_training", "joint_training")
+    config_args, ckpt_args = [], []
+    for phase in phases:
+        cfg_path = os.path.join(root, f"{phase}_config.yml")
+        make_fixture_config(root, phase, ckpt_overrides).dump(cfg_path)
+        config_args.append(f"{phase}={cfg_path}")
+        ckpt_args.append(f"{phase}=" + {
+            "program_prior": prior_pth, "question_coding": qc_pth,
+            "module_training": mt_pth, "joint_training": jt_pth,
+        }[phase])
+
+    out = os.path.join(root, "report.json")
+    base = ["--checkpoints", *ckpt_args, "--configs", *config_args,
+            "--num-val-batches", "2"]
+    rc = verify_parity.main(verify_parity.parser.parse_args(base + ["--output", out]))
+    assert rc == 0
+    report = json.load(open(out))
+    assert set(report) == set(phases)
+    assert report["program_prior"]["program_prior"]["perplexity"] > 1.0
+    assert "sequence_accuracy" in report["question_coding"]["program_generator"]
+    assert "answer_accuracy" in report["module_training"]["nmn"]
+    assert "answer_accuracy" in report["joint_training"]["nmn"]
+
+    # The ported checkpoints evaluate reproducibly: the full report round-trips
+    # as --expected at the ±0.5% tolerance...
+    assert verify_parity.main(
+        verify_parity.parser.parse_args(base + ["--expected", out])
+    ) == 0
+    # ...and a 50%-off expectation in any phase fails.
+    bad = dict(report)
+    bad["joint_training"] = {
+        "nmn": {"average_invalid": report["joint_training"]["nmn"]["average_invalid"] + 7.0}
+    }
+    bad_path = os.path.join(root, "bad.json")
+    json.dump(bad, open(bad_path, "w"))
+    assert verify_parity.main(
+        verify_parity.parser.parse_args(base + ["--expected", bad_path])
+    ) == 1
+
+
 def test_verify_parity_script(pipeline, tmp_path):
     """scripts/verify_parity.py: evaluates checkpoints per phase, writes a JSON
     report, and enforces the ±0.5% tolerance against expected metrics."""
