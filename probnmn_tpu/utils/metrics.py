@@ -167,18 +167,22 @@ class BleuScore:
             self._gold_len += int(sum(1 for t in gold_row if int(t) not in self._exclude))
 
     def get_metric(self, reset: bool = True) -> Dict[str, float]:
-        log_precision = 0.0
-        bleu = 0.0
-        if all(m > 0 for m in self._matches) and all(t > 0 for t in self._totals):
-            for m, t in zip(self._matches, self._totals):
-                log_precision += np.log(m / t) / self._max_order
-            if self._pred_len > 0:
-                brevity = (
-                    1.0
-                    if self._pred_len > self._gold_len
-                    else np.exp(1.0 - self._gold_len / self._pred_len)
-                )
-                bleu = float(brevity * np.exp(log_precision))
+        # allennlp-0.9 semantics exactly (the reference's BLEU source,
+        # allennlp/training/metrics/bleu.py): 1e-13 log-smoothing — zero
+        # n-gram matches yield a tiny but NONZERO BLEU, not 0 — and a brevity
+        # penalty of 1 when predictions are longer, 0 when either side has no
+        # valid tokens.
+        if self._pred_len > self._gold_len:
+            brevity = 1.0
+        elif self._gold_len == 0 or self._pred_len == 0:
+            brevity = 0.0
+        else:
+            brevity = np.exp(1.0 - self._gold_len / self._pred_len)
+        log_precision = sum(
+            (np.log(m + 1e-13) - np.log(t + 1e-13)) / self._max_order
+            for m, t in zip(self._matches, self._totals)
+        )
+        bleu = float(brevity * np.exp(log_precision))
         if reset:
             self.reset()
         return {"BLEU": bleu}
