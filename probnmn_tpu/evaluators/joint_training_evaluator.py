@@ -38,9 +38,12 @@ class JointTrainingEvaluator(_Evaluator):
         self._answer_accuracy = BooleanAccuracy()
         self._average_invalid = Average()
 
-        # Pallas path needs TPU + lane-aligned module channels (Mosaic tiling).
+        # Pallas path needs a large-VMEM TPU (v4+) + lane-aligned module
+        # channels (see ops.common.tpu_fused_kernels_supported).
+        from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
         self._use_fast = (
-            jax.default_backend() not in ("cpu",)
+            tpu_fused_kernels_supported()
             and self._nmn_spec.module_channels % 128 == 0
         )
         self._fast_tables = None

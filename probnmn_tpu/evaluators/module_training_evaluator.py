@@ -49,9 +49,12 @@ class ModuleTrainingEvaluator(_Evaluator):
         # On TPU, validation runs through the fused Pallas interpreter; the
         # banks are rebuilt from the live parameters at the start of each
         # evaluate() call, while the jitted step stays cached (all-array args).
-        # Pallas path needs TPU + lane-aligned module channels (Mosaic tiling).
+        # Pallas path needs a large-VMEM TPU (v4+) + lane-aligned module
+        # channels (see ops.common.tpu_fused_kernels_supported).
+        from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
         self._use_fast = (
-            jax.default_backend() not in ("cpu",)
+            tpu_fused_kernels_supported()
             and self._nmn_spec.module_channels % 128 == 0
         )
         self._fast_tables = None

@@ -489,9 +489,13 @@ def nmn_forward(
 
 
 def fast_training_available(spec: NMNSpec) -> bool:
-    r"""The fused Pallas interpreter (forward + custom-VJP backward) needs a TPU
-    backend and lane-aligned module channels (Mosaic tiling)."""
-    return jax.default_backend() == "tpu" and spec.module_channels % 128 == 0
+    r"""The fused Pallas interpreter (forward + custom-VJP backward) needs a
+    large-VMEM TPU generation (v4+ — the unified weight bank and the backward's
+    grad banks are VMEM-resident; see ``ops.common.tpu_fused_kernels_supported``)
+    and lane-aligned module channels (Mosaic tiling)."""
+    from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
+    return tpu_fused_kernels_supported() and spec.module_channels % 128 == 0
 
 
 def nmn_forward_fast(

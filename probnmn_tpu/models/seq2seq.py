@@ -217,9 +217,13 @@ def seq2seq_forward(
 
 def fast_sampling_available(spec: Seq2SeqSpec) -> bool:
     r"""The fused Pallas sampling kernel (``ops/pallas/seq2seq_decode.py``)
-    needs a TPU backend and lane-aligned hidden/input sizes (Mosaic tiling)."""
+    needs a large-VMEM TPU generation (v4+ — the kernel keeps multi-MB weight
+    banks VMEM-resident; see ``ops.common.tpu_fused_kernels_supported``) and
+    lane-aligned hidden/input sizes (Mosaic tiling)."""
+    from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
     return (
-        jax.default_backend() == "tpu"
+        tpu_fused_kernels_supported()
         and spec.hidden_size % 128 == 0
         and spec.input_size % 128 == 0
     )

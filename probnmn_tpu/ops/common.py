@@ -26,6 +26,20 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def tpu_fused_kernels_supported() -> bool:
+    r"""True when the default backend is a TPU generation whose VMEM can hold
+    the fused kernels' VMEM-resident banks (they request 64-115 MB
+    ``vmem_limit_bytes``; a 22 MB weight bank plus f32 grad banks live in VMEM
+    for the kernels' lifetime). v4 and later have ~128 MB VMEM per core; v2/v3
+    have ~16 MB, where the fused paths would fail to COMPILE rather than fall
+    back — so they are excluded here and the XLA scan/register-machine paths
+    (identical semantics) serve those generations."""
+    if jax.default_backend() != "tpu":
+        return False
+    kind = jax.devices()[0].device_kind.lower()  # e.g. "TPU v5 lite"
+    return not any(gen in kind for gen in ("v2", "v3"))
+
+
 # ------------------------------------------------------------------ params ------------
 def xavier_uniform(key: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
     r"""allennlp Embedding default init."""

@@ -648,11 +648,14 @@ def _block_tokens(tokens, bb, padded):
 
 
 def fused_training_available(spec) -> bool:
-    r"""The fused teacher-forced fwd+bwd kernels need a TPU backend,
+    r"""The fused teacher-forced fwd+bwd kernels need a large-VMEM TPU
+    generation (v4+, see ``ops.common.tpu_fused_kernels_supported``),
     lane-aligned sizes, no dropout, and input_size == hidden_size (the dx0
     trajectory shares the hidden-width aux scratch)."""
+    from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
     return (
-        jax.default_backend() == "tpu"
+        tpu_fused_kernels_supported()
         and spec.hidden_size % LANE == 0
         and spec.input_size == spec.hidden_size
         and spec.dropout == 0.0
@@ -1197,9 +1200,12 @@ def _lm_backward_kernel(
 
 
 def fused_lm_available(spec) -> bool:
-    r"""ProgramPrior fused fwd+bwd: TPU, lane-aligned, no dropout, tied dims."""
+    r"""ProgramPrior fused fwd+bwd: large-VMEM TPU (v4+), lane-aligned, no
+    dropout, tied dims."""
+    from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
     return (
-        jax.default_backend() == "tpu"
+        tpu_fused_kernels_supported()
         and spec.hidden_size % LANE == 0
         and spec.input_size == spec.hidden_size
         and spec.dropout == 0.0

@@ -64,3 +64,58 @@ def make_clevr_like_vocabulary() -> Vocabulary:
         },
         non_padded_namespaces=["answers"],
     )
+
+
+def sample_clevr_like_programs(vocab: Vocabulary, n: int, seed: int = 0,
+                               max_length: int = MAX_PROGRAM_LENGTH):
+    r"""``(n, max_length)`` int32 batch of VALID prefix-notation programs with
+    realistic CLEVR structure and length mix (filter chains, relates, same-X,
+    query/count/exist reductions, equal-X comparisons, intersect/union) —
+    the workload a CONVERGED ProgramGenerator emits, as opposed to the mostly-
+    invalid token soups a random-init one samples. Used by bench.py's
+    valid-program (converged-regime) measurement and perf tests.
+
+    Grammar mirrors the real CLEVR function catalog semantics executed by the
+    interpreter (reference ``nmn.py:197-238``): chains are attention->attention
+    stacks closed by ``scene``; ``query_*`` (via ``unique``) produces features;
+    ``equal_*`` compares two query branches; ``intersect``/``union`` merge two
+    attention branches under a reduction."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    attn_ops = (
+        [f"filter_color[{c}]" for c in _COLORS]
+        + [f"filter_material[{m}]" for m in _MATERIALS]
+        + [f"filter_shape[{s}]" for s in _SHAPES]
+        + [f"filter_size[{s}]" for s in _SIZES]
+        + [f"relate[{r}]" for r in _RELATIONS]
+        + [f"same_{a}" for a in ("color", "material", "shape", "size")]
+    )
+    queries = [f"query_{a}" for a in ("color", "material", "shape", "size")]
+    equals = [f"equal_{a}" for a in ("color", "material", "shape", "size")]
+
+    def chain(depth):
+        return [rs.choice(attn_ops) for _ in range(depth)] + ["scene"]
+
+    def query_branch(depth):
+        return [rs.choice(queries), "unique"] + chain(depth)
+
+    def program():
+        kind = rs.rand()
+        if kind < 0.35:    # count/exist over one chain
+            toks = [rs.choice(["count", "exist"])] + chain(rs.randint(2, 9))
+        elif kind < 0.60:  # attribute query
+            toks = query_branch(rs.randint(2, 9))
+        elif kind < 0.80:  # comparison of two query branches
+            toks = [rs.choice(equals)] + query_branch(rs.randint(2, 6)) \
+                + query_branch(rs.randint(2, 6))
+        else:              # set op of two chains under a reduction
+            toks = [rs.choice(["count", "exist"]), rs.choice(["intersect", "union"])] \
+                + chain(rs.randint(2, 6)) + chain(rs.randint(2, 6))
+        return toks[:max_length]
+
+    out = np.zeros((n, max_length), np.int32)
+    for i in range(n):
+        ids = [vocab.get_token_index(t, "programs") for t in program()]
+        out[i, : len(ids)] = ids
+    return out

@@ -166,3 +166,31 @@ def test_lstm_interlayer_dropout_torch_semantics():
     o1, _ = rnn.lstm_encode(one_layer, x, mask, dropout=0.5, dropout_rng=jax.random.PRNGKey(2))
     o2, _ = rnn.lstm_encode(one_layer, x, mask)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_tpu_fused_kernels_supported_gates_on_generation(monkeypatch):
+    """ADVICE r2: the fused paths must not be selected on ~16 MB-VMEM TPU
+    generations (v2/v3), where their vmem_limit_bytes requests would fail to
+    compile instead of falling back to the scan paths."""
+    import jax as jax_mod
+    from probnmn_tpu.ops import common
+
+    class FakeDev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    cases = {
+        "TPU v2": False,
+        "TPU v3": False,
+        "TPU v4": True,
+        "TPU v5 lite": True,
+        "TPU v5p": True,
+        "TPU v6e": True,
+    }
+    monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+    for kind, want in cases.items():
+        monkeypatch.setattr(jax_mod, "devices", lambda kind=kind: [FakeDev(kind)])
+        assert common.tpu_fused_kernels_supported() == want, kind
+
+    monkeypatch.setattr(jax_mod, "default_backend", lambda: "cpu")
+    assert not common.tpu_fused_kernels_supported()
