@@ -358,17 +358,20 @@ def _interpreter_kernel(
         tag_ref[1] = jnp.where(scene_ok, out_tag, saved_tag)
         tag_ref[2] = tag_ref[2] | jnp.where(valid & invalid_now, 1, 0)
 
-        # ------- cheap register ops: unpredicated vector selects (VPU ~free) --
-        old_out = out_reg[...]
-        old_saved = saved_reg[...]
-        minmax = jnp.where(
-            kind == AND, jnp.minimum(old_out, old_saved),
-            jnp.maximum(old_out, old_saved),
-        )
-        out_reg[...] = jnp.where(
-            scene_ok, jnp.ones_like(old_out), jnp.where(binop_ok, minmax, old_out)
-        )
-        saved_reg[...] = jnp.where(scene_ok, old_out, old_saved)
+        # ------- cheap register ops, predicated: most steps are chain/pad
+        # steps that touch neither register here, so skipping the selects
+        # saves ~300 KB/step of VMEM read-modify-write traffic (measured
+        # ~1 us/step at (196, 128) f32 x 3 arrays) on the valid-program path.
+        @pl.when(scene_ok | binop_ok)
+        def _():
+            old_out = out_reg[...]
+            old_saved = saved_reg[...]
+            minmax = jnp.where(
+                kind == AND, jnp.minimum(old_out, old_saved),
+                jnp.maximum(old_out, old_saved),
+            )
+            out_reg[...] = jnp.where(scene_ok, jnp.ones_like(old_out), minmax)
+            saved_reg[...] = jnp.where(scene_ok, old_out, old_saved)
 
         # ------- heavy module work: ONE outer conditional region --------------
         @pl.when(do_chain | do_cmp | do_same)
@@ -556,6 +559,9 @@ def _interpreter_bwd_kernel(
     cmp_slot_ref,    # (V,)
     same_slot_ref,   # (V,)
     invalid_flags,   # (B,) int32 — forward invalid flags (invalid => zero grads)
+    start_ref,       # (B,) first non-pad step in execution order (pad prefix
+                     # is a no-op by the reference's skip rule — skipping it
+                     # here mirrors the forward kernel's ragged execution)
     # tensor inputs
     x_ref,           # (1, H, W, C) stem features block (VMEM)
     gfin_ref,        # (1, H, W, C) f32 cotangent of the final encoding
@@ -588,7 +594,12 @@ def _interpreter_bwd_kernel(
                      # steps (saved' = out entry of that step), so its per-step
                      # value is out_traj[lscene[t]] — storing the full saved
                      # trajectory would double the VMEM footprint past budget.
-    acts,            # (MAX_CHAIN + 1, HW, C) f32 — chain activations (recomputed)
+    acts,            # (MAX_CHAIN + 1, HW, C) f32 — chain activations
+    acts_traj,       # (T, MAX_CHAIN + 1, HW, C) dtype — per-step chain
+                     # activations captured during replay, so the reverse
+                     # sweep reads them back instead of recomputing every
+                     # heavy step's chain a second time (~one full forward
+                     # saved per backward)
     g_out,           # (HW, C) f32 — gradient wrt the out register
     g_saved,         # (HW, C) f32
     dx_acc,          # (HW, C) f32 — gradient wrt stem features (this example)
@@ -749,24 +760,27 @@ def _interpreter_bwd_kernel(
             is_binop = (kind == AND) | (kind == OR)
             has_head = head_slot_ref[tok] >= 0
 
-            old_out = reg_out[...]
-            old_saved = reg_saved[...]
-            minmax = jnp.where(
-                kind == AND, jnp.minimum(old_out, old_saved),
-                jnp.maximum(old_out, old_saved),
-            )
-            reg_out[...] = jnp.where(
-                is_scene, jnp.ones_like(old_out),
-                jnp.where(is_binop, minmax, old_out),
-            )
-            reg_saved[...] = jnp.where(is_scene, old_out, old_saved)
+            # Register ops predicated (kinds are mutually exclusive, so the
+            # heavy branches below read the still-unmodified registers
+            # directly — see the forward kernel's rationale).
+            @pl.when(is_scene | is_binop)
+            def _():
+                old_out = reg_out[...]
+                old_saved = reg_saved[...]
+                minmax = jnp.where(
+                    kind == AND, jnp.minimum(old_out, old_saved),
+                    jnp.maximum(old_out, old_saved),
+                )
+                reg_out[...] = jnp.where(is_scene, jnp.ones_like(old_out), minmax)
+                reg_saved[...] = jnp.where(is_scene, old_out, old_saved)
 
             @pl.when(is_chain | is_cmp | is_same)
             def _():
+                entry_out = out_traj[t]  # register at entry (just stored)
 
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
-                    acts[0] = (x * old_out).astype(f32)
+                    acts[0] = (x * entry_out).astype(f32)
                     chain_bwd(tok, (1, 2, 4, 8, 1), G8)
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
@@ -774,7 +788,7 @@ def _interpreter_bwd_kernel(
 
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
-                    acts[0] = (x * old_out).astype(f32)
+                    acts[0] = (x * entry_out).astype(f32)
                     chain_bwd(tok, (1, 1), G1)
 
                     @pl.when(has_head)
@@ -792,8 +806,8 @@ def _interpreter_bwd_kernel(
                     cs = cmp_slot_ref[tok]
                     wc = wcmp_ref[cs]
                     proj = (
-                        jnp.dot(old_out, wc[:C], preferred_element_type=f32)
-                        + jnp.dot(old_saved, wc[C:], preferred_element_type=f32)
+                        jnp.dot(entry_out, wc[:C], preferred_element_type=f32)
+                        + jnp.dot(reg_saved[...], wc[C:], preferred_element_type=f32)
                         + bcmp_ref[cs][0:1, :C].astype(f32)
                     )
                     acts[0] = jnp.maximum(proj, 0.0)
@@ -803,7 +817,7 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_same)
                 def _():
                     ss = same_slot_ref[tok]
-                    attn_col = old_out[:, :1]
+                    attn_col = entry_out[:, :1]
                     am = jnp.argmax(attn_col[:, 0].astype(f32), axis=0)
                     onehot = (
                         jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0] == am
@@ -818,13 +832,14 @@ def _interpreter_bwd_kernel(
                     attn = jax.nn.sigmoid(head[:, :1])
                     reg_out[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
 
+                # Capture the step's chain activations so the reverse sweep
+                # reads them back instead of recomputing the chain (for `same`
+                # steps this stores unused garbage — never read back).
+                acts_traj[t] = acts[...].astype(dtype)
+
             return jnp.where(kind == SCENE, t, last_scene)
 
-        jax.lax.fori_loop(0, T, replay_step, jnp.int32(-1), unroll=False)
-
-        # NOTE: replay_step's chain recomputation overwrote ``acts`` — that is
-        # fine: replay only needs the final activation per step, and the
-        # backward sweep recomputes the chain again from the stored registers.
+        jax.lax.fori_loop(start_ref[b], T, replay_step, jnp.int32(-1), unroll=False)
 
         # ================= phase 2: reverse sweep ==============================
         g_out[...] = gfin_ref[0].reshape(HW, C)
@@ -836,8 +851,6 @@ def _interpreter_bwd_kernel(
             kind = kind_ref[tok]
             out_in = out_traj[t]
             ls = lscene_ref[t]
-            saved_src = out_traj[jnp.maximum(ls, 0)]
-            saved_in = jnp.where(ls >= 0, saved_src, jnp.zeros_like(saved_src))
 
             is_chain = (kind == ATTENTION) | (kind == QUERY) | (kind == RELATE)
             is_cmp = kind == COMPARE
@@ -846,27 +859,34 @@ def _interpreter_bwd_kernel(
             is_binop = (kind == AND) | (kind == OR)
             has_head = head_slot_ref[tok] >= 0
 
-            # ---- cheap register ops: scene / and / or (unpredicated selects) --
             go = g_out[...]
             gs = g_saved[...]
-            a = out_in.astype(f32)
-            c = saved_in.astype(f32)
-            # min/max subgradient with 0.5/0.5 tie splitting (== jnp.minimum /
-            # torch). Select between f32 masks — Mosaic cannot select between
-            # i1 vectors.
-            picked_out = jnp.where(
-                kind == AND,
-                jnp.where(a < c, 1.0, 0.0),
-                jnp.where(a > c, 1.0, 0.0),
-            )
-            w_out = picked_out + jnp.where(a == c, 0.5, 0.0)
-            g_out[...] = jnp.where(
-                is_scene, gs, jnp.where(is_binop, go * w_out, go)
-            )
-            g_saved[...] = jnp.where(
-                is_scene, jnp.zeros_like(gs),
-                jnp.where(is_binop, go * (1.0 - w_out) + gs, gs),
-            )
+
+            def load_saved_in():
+                # The saved register's per-step value is the out-register entry
+                # of the last scene step (see lscene_ref) — loaded only by the
+                # branches that consume it.
+                saved_src = out_traj[jnp.maximum(ls, 0)]
+                return jnp.where(ls >= 0, saved_src, jnp.zeros_like(saved_src))
+
+            # ---- cheap register-grad ops, predicated (pad/chain steps skip) --
+            @pl.when(is_scene | is_binop)
+            def _():
+                a = out_in.astype(f32)
+                c = load_saved_in().astype(f32)
+                # min/max subgradient with 0.5/0.5 tie splitting (== jnp.minimum
+                # / torch). Select between f32 masks — Mosaic cannot select
+                # between i1 vectors.
+                picked_out = jnp.where(
+                    kind == AND,
+                    jnp.where(a < c, 1.0, 0.0),
+                    jnp.where(a > c, 1.0, 0.0),
+                )
+                w_out = picked_out + jnp.where(a == c, 0.5, 0.0)
+                g_out[...] = jnp.where(is_scene, gs, go * w_out)
+                g_saved[...] = jnp.where(
+                    is_scene, jnp.zeros_like(gs), go * (1.0 - w_out) + gs
+                )
 
             # ---- heavy module backward: ONE outer conditional region ----------
             @pl.when(is_chain | is_cmp | is_same)
@@ -874,8 +894,7 @@ def _interpreter_bwd_kernel(
 
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
-                    acts[0] = (x * out_in).astype(f32)
-                    chain_bwd(tok, (1, 2, 4, 8, 1), G8)
+                    acts[...] = acts_traj[t].astype(f32)  # replay-captured chain
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
                     g_a = head_bwd(acts[5], hs, attn, go)
@@ -888,8 +907,7 @@ def _interpreter_bwd_kernel(
 
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
-                    acts[0] = (x * out_in).astype(f32)
-                    chain_bwd(tok, (1, 1), G1)
+                    acts[...] = acts_traj[t].astype(f32)  # replay-captured chain
 
                     @pl.when(has_head)
                     def _():
@@ -917,13 +935,8 @@ def _interpreter_bwd_kernel(
                 def _():
                     cs = cmp_slot_ref[tok]
                     wc = wcmp_ref[cs]
-                    proj = (
-                        jnp.dot(out_in, wc[:C], preferred_element_type=f32)
-                        + jnp.dot(saved_in, wc[C:], preferred_element_type=f32)
-                        + bcmp_ref[cs][0:1, :C].astype(f32)
-                    )
-                    acts[0] = jnp.maximum(proj, 0.0)
-                    chain_bwd(tok, (1, 1), G1)
+                    saved_in = load_saved_in()
+                    acts[...] = acts_traj[t].astype(f32)  # replay-captured chain
                     g_a = go
                     for l in (1, 0):
                         g_a = conv_layer_bwd(
@@ -994,7 +1007,9 @@ def _interpreter_bwd_kernel(
 
             return ()
 
-        jax.lax.fori_loop(0, T, bwd_step, (), unroll=False)
+        # Sweep back only to the first non-pad step (the reversed-order pad
+        # prefix is a no-op in both directions).
+        jax.lax.fori_loop(0, T - start_ref[b], bwd_step, (), unroll=False)
 
     # initial out register was the stem features themselves
     dx_ref[0] = (dx_acc[...] + g_out[...]).reshape(H, W, C)
@@ -1013,7 +1028,7 @@ def _execute_bwd_pallas(
     f32 = jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -1048,6 +1063,7 @@ def _execute_bwd_pallas(
             pltpu.VMEM((T, H * W, C), stem_feats.dtype),         # out_traj
             pltpu.SMEM((T,), jnp.int32),                         # lscene
             pltpu.VMEM((MAX_CHAIN + 1, H * W, C), f32),          # acts
+            pltpu.VMEM((T, MAX_CHAIN + 1, H * W, C), stem_feats.dtype),  # acts_traj
             pltpu.VMEM((H * W, C), f32),                         # g_out
             pltpu.VMEM((H * W, C), f32),                         # g_saved
             pltpu.VMEM((H * W, C), f32),                         # dx_acc
@@ -1076,6 +1092,7 @@ def _execute_bwd_pallas(
         tables["kind"], tables["slot3"], tables["head_slot"],
         tables["cmp_slot"], tables["same_slot"],
         invalid.astype(jnp.int32),
+        jnp.argmax(tokens_rev != 0, axis=1).astype(jnp.int32),
         stem_feats,
         g_final.astype(f32),
         banks["w3"], banks["b3"], banks["w1"], banks["b1"],
