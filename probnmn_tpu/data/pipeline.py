@@ -88,6 +88,8 @@ class BatchIterator:
         # (reference readers.py:86) that would otherwise block the train step.
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         stop = threading.Event()
+        done = object()  # completion sentinel (the cyclic stream never ends,
+        # but the protocol must terminate cleanly for any finite iterator)
 
         def worker():
             try:
@@ -95,6 +97,7 @@ class BatchIterator:
                     if stop.is_set():
                         return
                     q.put(self._put(batch))
+                q.put(done)
             except BaseException as e:  # surface reader errors on the consumer
                 q.put(e)
 
@@ -105,6 +108,8 @@ class BatchIterator:
         try:
             while True:
                 item = q.get()
+                if item is done:
+                    return
                 if isinstance(item, BaseException):
                     raise item
                 yield item

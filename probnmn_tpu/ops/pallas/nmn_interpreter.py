@@ -26,10 +26,11 @@ This kernel executes each example's program *exactly*:
   the MXU as one of 9 accumulating (slice, C) x (C, C) dots — no im2col patch
   materialization (which cost ~2/3 of the old 2.0 µs/conv; now 0.48 µs).
   Chains are straight-line per kind with a static dilation schedule;
-- the tag/dispatch machine is pure scalar SMEM math and the scene/and/or
-  register updates are unpredicated vector selects — conditional regions are
-  expensive on TPU, so ALL module compute sits behind a single outer
-  ``@pl.when`` with per-kind straight-line bodies;
+- the tag/dispatch machine is pure scalar SMEM math; the scene/and/or
+  register updates sit behind their own small ``@pl.when`` (most steps are
+  chain steps that skip their ~300 KB of select traffic) and ALL module
+  compute behind a single outer ``@pl.when`` with per-kind straight-line
+  bodies;
 - execution aborts at the first invalid operation, exactly like the reference's
   per-example try/except (nmn.py:202-238) — faithful semantics that double as
   ragged efficiency on malformed programs.
@@ -273,7 +274,7 @@ def _interpreter_kernel(
                      # reference's skip rule, nmn.py:207)
     # tensor inputs
     x_ref,           # (1, H, W, C) stem features block (VMEM)
-    w3_ref,          # (S3, 9C, C) HBM — DMA'd per layer (im2col rows)
+    w3_ref,          # (S3, 9C, C) VMEM-resident unified 3x3 bank (im2col rows)
     b3_ref,          # (S3, 8, 128) VMEM bias planes (row 0)
     w1_ref,          # (S1, C, 8) VMEM
     b1_ref,          # (S1, 8, 128) VMEM
@@ -565,7 +566,7 @@ def _interpreter_bwd_kernel(
     # tensor inputs
     x_ref,           # (1, H, W, C) stem features block (VMEM)
     gfin_ref,        # (1, H, W, C) f32 cotangent of the final encoding
-    w3_ref,          # (S3, 9C, C) HBM
+    w3_ref,          # (S3, 9C, C) VMEM-resident unified 3x3 bank
     b3_ref,          # (S3, 8, 128) VMEM
     w1_ref,          # (S1, C, 8) VMEM
     b1_ref,          # (S1, 8, 128) VMEM
@@ -611,9 +612,10 @@ def _interpreter_bwd_kernel(
     per-step actions on a *valid* example are fully determined by the token
     kind (any failed predicate would have marked the example invalid, and
     invalid examples receive zero gradient because the forward zeroes their
-    output). Phase 2 sweeps the steps in reverse, recomputing each heavy
-    step's conv-chain activations from the stored registers (VMEM-resident
-    rematerialization) and backpropagating: conv backward uses the shared
+    output). Phase 2 sweeps the steps in reverse, reading each heavy
+    step's conv-chain activations back from the replay-captured ``acts_traj``
+    (VMEM-resident; replay computes them anyway to advance the registers)
+    and backpropagating: conv backward uses the shared
     flat-layout machinery — 9 per-tap contract-dim0 dots for the weight grad
     and 9 shifted-pad accumulations of per-tap back-projections (g @ W_k^T)
     for the input grad. ALL bank gradients — including the unified 3x3 bank
@@ -1162,28 +1164,15 @@ def execute_programs_pallas_diff(
 
 # ===================================================== data-parallel wrappers
 def _dp(fn, mesh):
-    r"""shard_map a per-example interpreter call over the mesh's ``data`` axis.
+    r"""shard_map the per-example interpreter call over the mesh's ``data``
+    axis (banks/tables replicate, stem features and programs shard) — without
+    this a >1-chip mesh would fail to partition the module/joint training step
+    (the capability the reference gets from ``nn.DataParallel`` wrapping every
+    model, reference ``_trainer.py:98-100``). Verified bit-exact vs the
+    single-device call in ``tests/test_nmn_pallas.py``."""
+    from probnmn_tpu.parallel.mesh import shard_map_dp
 
-    The interpreter kernel is a per-example map (grid over the batch, no
-    cross-example math), so batch sharding needs no collectives: banks/tables
-    replicate, the stem features and programs shard, and each device runs its
-    own kernel instance on its shard. Pallas custom calls cannot auto-partition
-    under GSPMD — without this wrapper a >1-chip mesh would fail to partition
-    the module/joint training step (the capability the reference gets from
-    ``nn.DataParallel`` wrapping every model, reference ``_trainer.py:98-100``).
-    Same pattern as ``ops/pallas/seq2seq_train.py``'s ``_dp``; verified
-    bit-exact vs the single-device call in ``tests/test_nmn_pallas.py``.
-    """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    data = P(mesh.axis_names[0])
-    return shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(), P(), data, data),
-        out_specs=(data, data),
-        check_vma=False,
-    )
+    return shard_map_dp(fn, mesh, n_replicated=2, n_batch=2)
 
 
 def execute_programs_pallas_dp(

@@ -1386,21 +1386,14 @@ fused_lm_loss.defvjp(_fused_lm_fwd, _fused_lm_bwd)
 
 # ===================================================== data-parallel wrappers
 def _dp(fn, mesh, n_batch_args):
-    r"""shard_map a per-example fused kernel over the mesh's ``data`` axis.
+    r"""shard_map a per-example fused kernel over the mesh's ``data`` axis:
+    params replicate, batch args shard, and the sharded per-example outputs
+    feed the trainers' (GSPMD-global) masked means. Verified bit-exact against
+    the single-device call — forward and every gradient leaf
+    (tests/test_seq2seq_train_pallas.py)."""
+    from probnmn_tpu.parallel.mesh import shard_map_dp
 
-    The fused kernels are per-example maps (losses/predictions have a leading
-    batch dim and there is no cross-example math inside), so batch-dim
-    sharding needs no collectives: params replicate, batch args shard, and
-    the sharded per-example outputs feed the trainers' (GSPMD-global)
-    masked means. Verified bit-exact against the single-device call — forward
-    and every gradient leaf (tests/test_seq2seq_train_pallas.py).
-    """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    in_specs = (P(),) + (P(mesh.axis_names[0]),) * n_batch_args
-    return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                     out_specs=P(mesh.axis_names[0]), check_vma=False)
+    return shard_map_dp(fn, mesh, n_replicated=1, n_batch=n_batch_args)
 
 
 def fused_tf_loss_dp(mesh, params, spec, source_tokens, target_tokens,

@@ -67,6 +67,30 @@ def auto_mesh(
     return make_mesh(n, model_parallel=mp) if n > 1 else None
 
 
+def shard_map_dp(fn, mesh: Mesh, n_replicated: int, n_batch: int):
+    r"""shard_map a per-example fused-kernel call over the mesh's leading
+    (data) axis: the first ``n_replicated`` args replicate (``P()``), the next
+    ``n_batch`` args shard their leading dim, and every output leaf shards its
+    leading dim. This is the one pattern behind all the Pallas data-parallel
+    wrappers (``ops/pallas/seq2seq_train.py``, ``ops/pallas/nmn_interpreter.py``
+    — the kernels are per-example maps, so batch sharding needs no
+    collectives; Pallas custom calls cannot auto-partition under GSPMD).
+    ``check_vma=False`` because the kernels' outputs are genuinely per-shard;
+    replicated-arg cotangents are psummed by the shard_map transpose.
+    (``seq2seq_decode.fused_sampling_forward_dp`` keeps bespoke specs — its
+    noise tensor shards a non-leading dim and its rng key needs a per-shard
+    fold-in.)"""
+    from jax import shard_map
+
+    data = P(mesh.axis_names[0])
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(),) * n_replicated + (data,) * n_batch,
+        out_specs=data,
+        check_vma=False,
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     r"""Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -112,10 +112,18 @@ def sample_clevr_like_programs(vocab: Vocabulary, n: int, seed: int = 0,
         else:              # set op of two chains under a reduction
             toks = [rs.choice(["count", "exist"]), rs.choice(["intersect", "union"])] \
                 + chain(rs.randint(2, 6)) + chain(rs.randint(2, 6))
-        return toks[:max_length]
+        return toks
 
+    if max_length < 4:
+        raise ValueError(f"max_length={max_length} cannot hold any valid program")
     out = np.zeros((n, max_length), np.int32)
     for i in range(n):
-        ids = [vocab.get_token_index(t, "programs") for t in program()]
+        # Regenerate rather than truncate: a chopped prefix program would be
+        # invalid under the interpreter, silently turning a "converged-regime"
+        # workload into the flattering early-abort one.
+        toks = program()
+        while len(toks) > max_length:
+            toks = program()
+        ids = [vocab.get_token_index(t, "programs") for t in toks]
         out[i, : len(ids)] = ids
     return out
