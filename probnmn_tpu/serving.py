@@ -1,0 +1,228 @@
+r"""
+Production serving engine: question tokens + image features -> CLEVR answers.
+
+The reference has no serving layer — its closest surface is
+``scripts/inference.py`` (reference ``inference.py:74-95``), a batch script.
+This module packages that pipeline as a long-lived engine for deployment:
+
+- **One compiled executable.** The engine pads every request batch to a fixed
+  ``batch_size`` and un-pads the answers, so a single jitted pipeline serves
+  all request sizes (static shapes are what keep XLA/Mosaic fast — recompiling
+  per request size would stall the service). The pipeline is the production
+  path: fused Pallas sampling kernel + fused Pallas NMN interpreter on
+  supported TPUs (v4+), the XLA scan/register-machine paths elsewhere —
+  identical semantics either way.
+- **Sampling at inference** mirrors the reference's (quirky) default decoding
+  strategy (reference ``seq2seq_base.py:105``, ``inference.py:80``); each
+  batch advances an internal PRNG key chain.
+- **Optional micro-batching.** ``submit()`` enqueues a single request and
+  returns a ``concurrent.futures.Future``; a dispatcher thread coalesces
+  queued requests up to ``batch_size`` or a max-latency deadline and runs them
+  as one device batch — the standard continuous-batching pattern for small
+  per-request payloads on accelerators.
+
+Use :meth:`InferenceEngine.from_checkpoint` with a joint_training (or
+module_training + question_coding) checkpoint — native ``.ckpt`` or reference
+``.pth`` (ported weight-for-weight).
+"""
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from queue import Empty, Queue
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probnmn_tpu.data.pipeline import image_to_nhwc
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models import program_generator
+from probnmn_tpu.models.seq2seq import sampling_forward_serving
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        vocabulary: Vocabulary,
+        pg_spec,
+        nmn_spec,
+        pg_params,
+        nmn_params,
+        batch_size: int = 256,
+        rng_seed: int = 0,
+    ):
+        self._vocabulary = vocabulary
+        self._pg_spec = pg_spec
+        self._nmn_spec = nmn_spec
+        self._pg_params = jax.device_put(pg_params)
+        self._batch_size = batch_size
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+        # Production NMN path: fused Pallas interpreter on supported TPUs; the
+        # XLA register machine elsewhere (same contract — interpret-mode Pallas
+        # on CPU would be orders of magnitude slower than the XLA machine).
+        if nmn_lib.fast_training_available(nmn_spec):
+            nmn_forward = nmn_lib.make_fast_inference_fn(nmn_params, nmn_spec)
+        else:
+            nmn_params = jax.device_put(nmn_params)
+
+            def nmn_forward(features, programs):
+                return nmn_lib.nmn_forward(nmn_params, nmn_spec, features, programs)
+
+        @jax.jit
+        def pipeline(pg_params, questions, images, rng):
+            pg_out = sampling_forward_serving(pg_params, pg_spec, questions, rng)
+            nmn_out = nmn_forward(image_to_nhwc(images), pg_out["predictions"])
+            return nmn_out["predictions"], nmn_out["invalid"]
+
+        self._pipeline = pipeline
+
+        # Micro-batching state.
+        self._queue: Queue = Queue()
+        self._dispatcher: Optional[threading.Thread] = None
+        self._running = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._started_at = time.monotonic()
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def from_checkpoint(
+        cls, config, checkpoint_path: str, batch_size: Optional[int] = None,
+        compute_dtype: str = "bfloat16",
+    ) -> "InferenceEngine":
+        r"""Load PG + NMN from a joint/module checkpoint (native ``.ckpt`` or
+        reference ``.pth``) exactly like ``scripts/inference.py``."""
+        from probnmn_tpu.utils.checkpointing import load_objects_flexible
+
+        vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
+        pg_spec = program_generator.make_spec(vocabulary, config)
+        nmn_spec = nmn_lib.make_spec(vocabulary, config)
+        nmn_spec.compute_dtype = compute_dtype
+        templates = {
+            "program_generator": program_generator.init_params(
+                jax.random.PRNGKey(0), pg_spec
+            ),
+            "nmn": nmn_lib.init_nmn_params(jax.random.PRNGKey(0), nmn_spec),
+        }
+        restored, _, _ = load_objects_flexible(
+            checkpoint_path, templates,
+            specs={"program_generator": pg_spec, "nmn": nmn_spec},
+            vocabulary=vocabulary,
+        )
+        return cls(
+            vocabulary, pg_spec, nmn_spec,
+            restored["program_generator"], restored["nmn"],
+            batch_size=batch_size or config.OPTIM.BATCH_SIZE,
+            rng_seed=config.RANDOM_SEED,
+        )
+
+    # ------------------------------------------------------------------ sync
+    def predict(
+        self,
+        questions: np.ndarray,   # (n, Tq) int tokens
+        images: np.ndarray,      # (n, C, H, W) features (reference H5 layout)
+        rng: Optional[jax.Array] = None,
+    ) -> List[str]:
+        r"""Answer ``n <= batch_size`` requests in one device call (padded to
+        the compiled batch; answers detokenized via the vocabulary)."""
+        questions = np.asarray(questions)
+        images = np.asarray(images)
+        n = questions.shape[0]
+        if n == 0:
+            return []
+        if n > self._batch_size:
+            out: List[str] = []
+            for start in range(0, n, self._batch_size):
+                out.extend(self.predict(
+                    questions[start:start + self._batch_size],
+                    images[start:start + self._batch_size], rng,
+                ))
+            return out
+
+        if rng is None:
+            with self._lock:
+                self._rng, rng = jax.random.split(self._rng)
+        pad = self._batch_size - n
+        q = np.pad(questions, ((0, pad), (0, 0)))
+        im = np.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+        answers, _ = self._pipeline(self._pg_params, jnp.asarray(q),
+                                    jnp.asarray(im, jnp.float32), rng)
+        answers = np.asarray(answers)[:n]
+        with self._lock:
+            self._stats["requests"] += n
+            self._stats["batches"] += 1
+            self._stats["padded_slots"] += pad
+        return [
+            self._vocabulary.get_token_from_index(int(a), "answers")
+            for a in answers
+        ]
+
+    # ------------------------------------------------------------ micro-batch
+    def start(self, max_batch_delay: float = 0.005) -> None:
+        r"""Start the micro-batching dispatcher: queued ``submit()`` requests
+        coalesce until the batch fills or ``max_batch_delay`` seconds pass
+        since the oldest queued request."""
+        if self._dispatcher is not None:
+            return
+        self._running.set()
+
+        def dispatch():
+            while self._running.is_set():
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except Empty:
+                    continue
+                pending = [first]
+                deadline = time.monotonic() + max_batch_delay
+                while len(pending) < self._batch_size:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        pending.append(self._queue.get(timeout=remaining))
+                    except Empty:
+                        break
+                questions = np.stack([p[0] for p in pending])
+                images = np.stack([p[1] for p in pending])
+                try:
+                    answers = self.predict(questions, images)
+                except BaseException as e:
+                    for _, _, fut in pending:
+                        fut.set_exception(e)
+                    continue
+                for (_, _, fut), answer in zip(pending, answers):
+                    fut.set_result(answer)
+
+        self._dispatcher = threading.Thread(
+            target=dispatch, daemon=True, name="probnmn-serving-dispatcher"
+        )
+        self._dispatcher.start()
+
+    def stop(self) -> None:
+        if self._dispatcher is None:
+            return
+        self._running.clear()
+        self._dispatcher.join(timeout=5)
+        self._dispatcher = None
+
+    def submit(self, question: np.ndarray, image: np.ndarray) -> Future:
+        r"""Enqueue one request for the micro-batching dispatcher; returns a
+        Future resolving to the answer string. ``start()`` must be running."""
+        if self._dispatcher is None:
+            raise RuntimeError("call start() before submit()")
+        fut: Future = Future()
+        self._queue.put((np.asarray(question), np.asarray(image), fut))
+        return fut
+
+    # ------------------------------------------------------------------ stats
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            s = dict(self._stats)
+        elapsed = max(time.monotonic() - self._started_at, 1e-9)
+        s["qps"] = s["requests"] / elapsed
+        return s

@@ -1,0 +1,107 @@
+"""Serving engine: checkpoint loading, padded fixed-batch prediction, request
+chunking, micro-batching dispatcher, stats. (The reference has no serving
+layer; its inference script, reference inference.py:74-95, is the behavioral
+anchor for the pipeline itself.)"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probnmn_tpu.data.pipeline import image_to_nhwc
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models import program_generator
+from probnmn_tpu.models.seq2seq import sampling_forward_serving
+from probnmn_tpu.serving import InferenceEngine
+from probnmn_tpu.utils.checkpointing import save_objects
+
+from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+
+
+@pytest.fixture(scope="module")
+def engine_setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serving"))
+    build_fixture_data(root)
+    config = make_fixture_config(root, "joint_training")
+    vocab = Vocabulary.from_files(config.DATA.VOCABULARY)
+    pg_spec = program_generator.make_spec(vocab, config)
+    nmn_spec = nmn_lib.make_spec(vocab, config)
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    pg_params = program_generator.init_params(k1, pg_spec)
+    nmn_params = nmn_lib.init_nmn_params(k2, nmn_spec)
+    ckpt = os.path.join(root, "serve.ckpt")
+    save_objects(ckpt, {"program_generator": pg_params, "nmn": nmn_params})
+
+    engine = InferenceEngine.from_checkpoint(config, ckpt, batch_size=8,
+                                             compute_dtype="float32")
+    rs = np.random.RandomState(0)
+    questions = rs.randint(4, vocab.get_vocab_size("questions"), (8, 12)).astype(np.int64)
+    images = rs.randn(8, 12, 6, 6).astype(np.float32)  # NCHW like the H5 layout
+    return dict(engine=engine, config=config, vocab=vocab, pg_spec=pg_spec,
+                nmn_spec=nmn_spec, pg_params=pg_params, nmn_params=nmn_params,
+                questions=questions, images=images)
+
+
+def test_predict_matches_direct_pipeline(engine_setup):
+    s = engine_setup
+    rng = jax.random.PRNGKey(42)
+    answers = s["engine"].predict(s["questions"], s["images"], rng=rng)
+
+    pg_out = sampling_forward_serving(
+        jax.device_put(s["pg_params"]), s["pg_spec"], jnp.asarray(s["questions"]), rng
+    )
+    nmn_out = nmn_lib.nmn_forward(
+        s["nmn_params"], s["nmn_spec"],
+        image_to_nhwc(jnp.asarray(s["images"])), pg_out["predictions"],
+    )
+    want = [
+        s["vocab"].get_token_from_index(int(a), "answers")
+        for a in np.asarray(nmn_out["predictions"])
+    ]
+    assert answers == want
+
+
+def test_predict_pads_and_chunks(engine_setup):
+    s = engine_setup
+    rng = jax.random.PRNGKey(3)
+    # Ragged n < batch: padded to the one compiled batch, truncated on return.
+    few = s["engine"].predict(s["questions"][:3], s["images"][:3], rng=rng)
+    full = s["engine"].predict(s["questions"], s["images"], rng=rng)
+    assert few == full[:3]  # pad rows don't perturb the first n answers
+    # n > batch: chunked across multiple device calls.
+    many_q = np.concatenate([s["questions"]] * 2 + [s["questions"][:2]])
+    many_i = np.concatenate([s["images"]] * 2 + [s["images"][:2]])
+    answers = s["engine"].predict(many_q, many_i, rng=rng)
+    assert len(answers) == 18
+    valid = {s["vocab"].get_token_from_index(i, "answers")
+             for i in range(s["vocab"].get_vocab_size("answers"))}
+    assert set(answers) <= valid
+    assert s["engine"].predict(np.zeros((0, 12), np.int64),
+                               np.zeros((0, 12, 6, 6), np.float32)) == []
+
+
+def test_micro_batching_dispatcher(engine_setup):
+    s = engine_setup
+    engine = s["engine"]
+    before = engine.stats()["requests"]
+    engine.start(max_batch_delay=0.05)
+    try:
+        futures = [
+            engine.submit(s["questions"][i], s["images"][i]) for i in range(6)
+        ]
+        answers = [f.result(timeout=30) for f in futures]
+    finally:
+        engine.stop()
+    valid = {s["vocab"].get_token_from_index(i, "answers")
+             for i in range(s["vocab"].get_vocab_size("answers"))}
+    assert set(answers) <= valid
+    stats = engine.stats()
+    assert stats["requests"] - before == 6
+    assert stats["qps"] > 0
+
+    with pytest.raises(RuntimeError):
+        engine.submit(s["questions"][0], s["images"][0])
