@@ -40,8 +40,11 @@ MODULES = [
         "probnmn_tpu.ops.gconv",
         "probnmn_tpu.ops.common",
         "probnmn_tpu.ops.pallas.nmn_interpreter",
+        "probnmn_tpu.ops.pallas.seq2seq_decode",
+        "probnmn_tpu.ops.pallas.seq2seq_train",
     ]),
     ("Parallel", ["probnmn_tpu.parallel.mesh"]),
+    ("Serving", ["probnmn_tpu.serving"]),
     ("Trainers", [
         "probnmn_tpu.training._trainer",
         "probnmn_tpu.training.optim",
