@@ -54,32 +54,67 @@ class InferenceEngine:
         nmn_params,
         batch_size: int = 256,
         rng_seed: int = 0,
+        num_devices: Optional[int] = None,
     ):
         self._vocabulary = vocabulary
         self._pg_spec = pg_spec
         self._nmn_spec = nmn_spec
-        self._pg_params = jax.device_put(pg_params)
         self._batch_size = batch_size
         self._rng = jax.random.PRNGKey(rng_seed)
+
+        # Multi-chip serving: shard each padded batch over a data mesh (same
+        # policy as the trainers' --num-devices; the fused kernels route
+        # through their shard_map wrappers, everything else under GSPMD).
+        from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
+
+        self._mesh = auto_mesh(num_devices, batch_size)
+        self._batch_sharding = batch_sharding(self._mesh) if self._mesh else None
+        mesh = self._mesh
+        self._pg_params = jax.device_put(pg_params)
 
         # Production NMN path: fused Pallas interpreter on supported TPUs; the
         # XLA register machine elsewhere (same contract — interpret-mode Pallas
         # on CPU would be orders of magnitude slower than the XLA machine).
         if nmn_lib.fast_training_available(nmn_spec):
-            nmn_forward = nmn_lib.make_fast_inference_fn(nmn_params, nmn_spec)
+            from probnmn_tpu.ops.pallas.nmn_interpreter import build_kernel_tables
+
+            banks, tables = build_kernel_tables(nmn_params, nmn_spec)
+            stem_p = nmn_params["stem"]
+            cls_p = nmn_params["classifier"]
+
+            def nmn_forward(features, programs):
+                return nmn_lib.fast_forward_from_tables(
+                    banks, tables, nmn_spec, stem_p, cls_p, features, programs,
+                    mesh=mesh,
+                )
         else:
             nmn_params = jax.device_put(nmn_params)
 
             def nmn_forward(features, programs):
                 return nmn_lib.nmn_forward(nmn_params, nmn_spec, features, programs)
 
-        @jax.jit
-        def pipeline(pg_params, questions, images, rng):
-            pg_out = sampling_forward_serving(pg_params, pg_spec, questions, rng)
+        def pipeline_fn(pg_params, questions, images, rng):
+            if mesh is not None:
+                from probnmn_tpu.ops.pallas.seq2seq_decode import (
+                    fused_sampling_forward_dp,
+                )
+                from probnmn_tpu.models.seq2seq import fast_sampling_available
+
+                if fast_sampling_available(pg_spec):
+                    z = fused_sampling_forward_dp(
+                        mesh, pg_params, pg_spec, questions, rng
+                    )
+                    pg_out = {"predictions": z}
+                else:
+                    pg_out = sampling_forward_serving(
+                        pg_params, pg_spec, questions, rng
+                    )
+            else:
+                pg_out = sampling_forward_serving(pg_params, pg_spec, questions, rng)
             nmn_out = nmn_forward(image_to_nhwc(images), pg_out["predictions"])
             return nmn_out["predictions"], nmn_out["invalid"]
 
-        self._pipeline = pipeline
+        self._pipeline = jax.jit(pipeline_fn)
 
         # Micro-batching state.
         self._queue: Queue = Queue()
@@ -93,7 +128,7 @@ class InferenceEngine:
     @classmethod
     def from_checkpoint(
         cls, config, checkpoint_path: str, batch_size: Optional[int] = None,
-        compute_dtype: str = "bfloat16",
+        compute_dtype: str = "bfloat16", num_devices: Optional[int] = None,
     ) -> "InferenceEngine":
         r"""Load PG + NMN from a joint/module checkpoint (native ``.ckpt`` or
         reference ``.pth``) exactly like ``scripts/inference.py``."""
@@ -119,6 +154,7 @@ class InferenceEngine:
             restored["program_generator"], restored["nmn"],
             batch_size=batch_size or config.OPTIM.BATCH_SIZE,
             rng_seed=config.RANDOM_SEED,
+            num_devices=num_devices,
         )
 
     # ------------------------------------------------------------------ sync
@@ -150,8 +186,9 @@ class InferenceEngine:
         pad = self._batch_size - n
         q = np.pad(questions, ((0, pad), (0, 0)))
         im = np.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
-        answers, _ = self._pipeline(self._pg_params, jnp.asarray(q),
-                                    jnp.asarray(im, jnp.float32), rng)
+        q_dev = jax.device_put(jnp.asarray(q), self._batch_sharding)
+        im_dev = jax.device_put(jnp.asarray(im, jnp.float32), self._batch_sharding)
+        answers, _ = self._pipeline(self._pg_params, q_dev, im_dev, rng)
         answers = np.asarray(answers)[:n]
         with self._lock:
             self._stats["requests"] += n

@@ -84,6 +84,21 @@ def test_predict_pads_and_chunks(engine_setup):
                                np.zeros((0, 12, 6, 6), np.float32)) == []
 
 
+def test_mesh_serving_matches_single_device(engine_setup):
+    """InferenceEngine(num_devices=8) shards each padded batch over the data
+    mesh and reproduces single-device answers exactly (same rng)."""
+    s = engine_setup
+    mesh_engine = InferenceEngine(
+        s["vocab"], s["pg_spec"], s["nmn_spec"], s["pg_params"], s["nmn_params"],
+        batch_size=8, num_devices=8,
+    )
+    assert mesh_engine._mesh is not None
+    rng = jax.random.PRNGKey(11)
+    got = mesh_engine.predict(s["questions"], s["images"], rng=rng)
+    want = s["engine"].predict(s["questions"], s["images"], rng=rng)
+    assert got == want
+
+
 def test_micro_batching_dispatcher(engine_setup):
     s = engine_setup
     engine = s["engine"]
