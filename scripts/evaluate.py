@@ -26,6 +26,11 @@ parser.add_argument("--config-override", nargs="*", default=[])
 parser.add_argument("--gpu-ids", nargs="+", type=int, default=[0], help="Ignored.")
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--checkpoint-path", required=True)
+parser.add_argument(
+    "--num-devices", type=int, default=1,
+    help="Data-parallel device count: 1 = single device, 0 = all visible, "
+    "N = first N; val batches shard over the mesh.",
+)
 
 
 def main(args):
@@ -42,7 +47,8 @@ def main(args):
 
     serialization_dir = os.path.dirname(args.checkpoint_path) or "/tmp/probnmn_eval"
     trainer = TRAINERS[args.phase](
-        config, serialization_dir=serialization_dir, cpu_workers=args.cpu_workers
+        config, serialization_dir=serialization_dir, cpu_workers=args.cpu_workers,
+        num_devices=args.num_devices,
     )
     evaluator = EVALUATORS[args.phase](config, trainer)
     trainer.load_checkpoint(args.checkpoint_path)

@@ -29,6 +29,10 @@ parser.add_argument("--config-override", nargs="*", default=[])
 parser.add_argument("--gpu-ids", nargs="+", type=int, default=[0], help="Ignored.")
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--checkpoint-path", required=True)
+parser.add_argument(
+    "--num-devices", type=int, default=1,
+    help="Serve each batch sharded over this many devices (0 = all visible).",
+)
 
 
 def main(args):
@@ -42,7 +46,9 @@ def main(args):
     # The production serving engine: fused Pallas kernels on supported TPUs,
     # XLA paths elsewhere; sampling at inference is the reference's (quirky)
     # default decoding strategy (seq2seq_base.py:105, inference.py:80).
-    engine = InferenceEngine.from_checkpoint(config, args.checkpoint_path)
+    engine = InferenceEngine.from_checkpoint(
+        config, args.checkpoint_path, num_devices=args.num_devices
+    )
 
     predictions = []
     for batch in tqdm(iter(batches), total=len(batches), desc="inference"):

@@ -189,6 +189,59 @@ def test_module_trainer_fused_nmn_on_mesh_matches_single_device(tmp_path, monkey
     np.testing.assert_allclose(losses[None], losses[8], rtol=2e-4)
 
 
+def test_evaluate_and_inference_cli_on_mesh(tmp_path):
+    """scripts/evaluate.py and scripts/inference.py run with --num-devices 8
+    on the virtual mesh (val/test batches sharded over the data axis)."""
+    import json
+    import os
+
+    import jax
+    from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+    from probnmn_tpu.data.vocabulary import Vocabulary
+    from probnmn_tpu.models import nmn as nmn_lib
+    from probnmn_tpu.models import program_generator
+    from probnmn_tpu.training.program_prior_trainer import ProgramPriorTrainer
+    from probnmn_tpu.utils.checkpointing import save_objects
+    from scripts import evaluate, inference
+
+    root = str(tmp_path)
+    build_fixture_data(root)
+
+    # evaluate: program_prior phase from a fresh-trainer checkpoint.
+    config_path = os.path.join(root, "eval_config.yml")
+    make_fixture_config(root, "program_prior").dump(config_path)
+    np.random.seed(0)
+    trainer = ProgramPriorTrainer(
+        make_fixture_config(root, "program_prior"), os.path.join(root, "seed_run")
+    )
+    ckpt = os.path.join(root, "prior.ckpt")
+    save_objects(ckpt, dict(trainer.params))
+    evaluate.main(evaluate.parser.parse_args([
+        "--phase", "program_prior", "--config-yml", config_path,
+        "--checkpoint-path", ckpt, "--num-devices", "8",
+    ]))
+
+    # inference: joint-style checkpoint served with a sharded engine.
+    vocab = Vocabulary.from_files(os.path.join(root, "vocab"))
+    config = make_fixture_config(root, "joint_training")
+    pg_spec = program_generator.make_spec(vocab, config)
+    nmn_spec = nmn_lib.make_spec(vocab, config)
+    jt_ckpt = os.path.join(root, "jt.ckpt")
+    save_objects(jt_ckpt, {
+        "program_generator": program_generator.init_params(jax.random.PRNGKey(0), pg_spec),
+        "nmn": nmn_lib.init_nmn_params(jax.random.PRNGKey(1), nmn_spec),
+    })
+    inf_config = os.path.join(root, "inf_config.yml")
+    config.dump(inf_config)
+    inference.main(inference.parser.parse_args([
+        "--config-yml", inf_config, "--checkpoint-path", jt_ckpt,
+        "--num-devices", "8",
+    ]))
+    predictions = json.load(open(os.path.join(root, "jt_predictions.json")))
+    assert len(predictions) == 16
+    assert {"question_index", "answer"} <= set(predictions[0].keys())
+
+
 def test_auto_mesh_policy():
     from probnmn_tpu.parallel.mesh import auto_mesh
 
