@@ -189,6 +189,54 @@ def test_module_trainer_fused_nmn_on_mesh_matches_single_device(tmp_path, monkey
     np.testing.assert_allclose(losses[None], losses[8], rtol=2e-4)
 
 
+def test_module_evaluator_fused_nmn_on_mesh_matches_single_device(tmp_path, monkeypatch):
+    """The ModuleTrainingEvaluator's fast Pallas path routes through shard_map
+    when the trainer runs on a mesh (forced via interpret mode on the CPU
+    mesh) and reproduces single-device metrics."""
+    import os
+    from functools import partial
+
+    from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+    from probnmn_tpu.data.vocabulary import Vocabulary
+    from probnmn_tpu.evaluators.module_training_evaluator import ModuleTrainingEvaluator
+    from probnmn_tpu.models import nmn as nmn_lib
+    from probnmn_tpu.models import program_generator
+    from probnmn_tpu.ops import common as ops_common
+    from probnmn_tpu.training.module_training_trainer import ModuleTrainingTrainer
+    from probnmn_tpu.utils.checkpointing import save_objects
+
+    root = str(tmp_path)
+    build_fixture_data(root)
+    config = make_fixture_config(root, "module_training")
+    vocab = Vocabulary.from_files(config.DATA.VOCABULARY)
+    pg_spec = program_generator.make_spec(vocab, config)
+    save_objects(
+        os.path.join(root, "question_coding_best.ckpt"),
+        {"program_generator": program_generator.init_params(jax.random.PRNGKey(3), pg_spec)},
+    )
+
+    # Force the evaluator's fast path on CPU: availability on, interpret mode.
+    monkeypatch.setattr(ops_common, "tpu_fused_kernels_supported", lambda: True)
+    monkeypatch.setattr(
+        nmn_lib, "fast_forward_from_tables",
+        partial(nmn_lib.fast_forward_from_tables, interpret=True),
+    )
+    # The fixture's module_channels (8) fail the %128 gate; drop it for the test.
+    import probnmn_tpu.evaluators.module_training_evaluator as ev_mod
+    results = {}
+    for nd in (None, 8):
+        np.random.seed(config.RANDOM_SEED)
+        trainer = ModuleTrainingTrainer(
+            config, os.path.join(root, f"ev_fused_{nd}"), num_devices=nd
+        )
+        evaluator = ModuleTrainingEvaluator(config, trainer)
+        evaluator._use_fast = True  # bypass the %128 lane gate at fixture scale
+        results[nd] = evaluator.evaluate(num_batches=2)
+    a, b = results[None]["nmn"], results[8]["nmn"]
+    np.testing.assert_allclose(a["answer_accuracy"], b["answer_accuracy"], rtol=1e-6)
+    np.testing.assert_allclose(a["average_invalid"], b["average_invalid"], rtol=1e-6)
+
+
 def test_evaluate_and_inference_cli_on_mesh(tmp_path):
     """scripts/evaluate.py and scripts/inference.py run with --num-devices 8
     on the virtual mesh (val/test batches sharded over the data axis)."""
