@@ -52,6 +52,17 @@ parser.add_argument(
     "and GSPMD all-reduces gradients over ICI.",
 )
 parser.add_argument(
+    "--profile-dir",
+    default="",
+    help="Capture a jax.profiler trace of --profile-steps training steps "
+    "(after warmup/compilation) into this directory; view with TensorBoard's "
+    "profile plugin or Perfetto.",
+)
+parser.add_argument(
+    "--profile-steps", type=int, default=5,
+    help="Number of steps to trace when --profile-dir is set.",
+)
+parser.add_argument(
     "--model-parallel",
     type=int,
     default=1,
@@ -104,13 +115,31 @@ def main(args):
     if args.start_from_checkpoint:
         trainer.load_checkpoint(args.start_from_checkpoint)
 
+    # Profile window: trace steps [start+2, start+2+K) — the first steps pay
+    # compilation and would bury the steady-state timeline.
+    from probnmn_tpu.utils.observability import profile_trace
+
+    start_iteration = trainer.iteration + 1
+    profile_window = (
+        range(start_iteration + 2, start_iteration + 2 + args.profile_steps)
+        if args.profile_dir else range(0)
+    )
+    profiling = None
     for iteration in tqdm(
-        range(trainer.iteration + 1, config.OPTIM.NUM_ITERATIONS), desc="training"
+        range(start_iteration, config.OPTIM.NUM_ITERATIONS), desc="training"
     ):
+        if profile_window and iteration == profile_window.start:
+            profiling = profile_trace(args.profile_dir)
+            profiling.__enter__()
         trainer.step(iteration)
+        if profiling is not None and iteration == profile_window.stop - 1:
+            profiling.__exit__(None, None, None)
+            profiling = None
         if (iteration + 1) % args.checkpoint_every == 0:
             val_metrics = evaluator.evaluate(num_batches=args.num_val_batches)
             trainer.after_validation(val_metrics, iteration)
+    if profiling is not None:
+        profiling.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

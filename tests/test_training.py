@@ -323,3 +323,31 @@ def test_verify_parity_script(pipeline, tmp_path):
     bad = os.path.join(str(tmp_path), "bad.json")
     json.dump({"program_prior": {"program_prior": {"perplexity": ppl * 1.5}}}, open(bad, "w"))
     assert verify_parity.main(verify_parity.parser.parse_args(base + ["--expected", bad])) == 1
+
+
+def test_train_cli_profile_trace(pipeline, tmp_path):
+    """scripts/train.py --profile-dir captures a jax.profiler trace of the
+    requested step window (aux tracing subsystem, SURVEY §5)."""
+    import glob
+
+    from scripts import train
+
+    root = pipeline["root"]
+    config_path = os.path.join(str(tmp_path), "profile_config.yml")
+    make_fixture_config(
+        root, "program_prior", extra_overrides=["OPTIM.NUM_ITERATIONS", 6]
+    ).dump(config_path)
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    args = train.parser.parse_args([
+        "--phase", "program_prior",
+        "--config-yml", config_path,
+        "--serialization-dir", os.path.join(str(tmp_path), "profile_run"),
+        "--checkpoint-every", "6",
+        "--num-val-batches", "1",
+        "--profile-dir", trace_dir,
+        "--profile-steps", "2",
+    ])
+    train.main(args)
+    traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True) \
+        + glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no trace files under {trace_dir}"
