@@ -79,13 +79,18 @@ class BatchIterator:
             for batch in it:
                 yield self._put(batch)
             return
-        # Background worker thread: the host gather (h5py reads for streaming
-        # feature files, fancy-index copies) AND the device_put dispatch run off
-        # the consumer thread, bounded by a `prefetch`-deep queue. This is the
-        # TPU-native form of the reference's multi-worker DataLoader
-        # (reference scripts/train.py:52-54) — essential with in_memory=False,
-        # where each batch costs a 50-100 GB-file h5py fancy-index read
-        # (reference readers.py:86) that would otherwise block the train step.
+        # Background worker thread: the HOST gather (h5py reads for streaming
+        # feature files, fancy-index copies) runs off the consumer thread,
+        # bounded by a `prefetch`-deep queue — the TPU-native form of the
+        # reference's multi-worker DataLoader (reference scripts/train.py:52-54),
+        # essential with in_memory=False where each batch costs a
+        # 50-100 GB-file h5py fancy-index read (reference readers.py:86) that
+        # would otherwise block the train step. The device_put itself stays on
+        # the CONSUMER thread (with a one-batch device-side lookahead so the
+        # async H2D copy still overlaps compute): issuing device RPCs from a
+        # second thread while the trainer blocks on a result fetch deadlocks
+        # tunneled single-chip runtimes (reproduced on the axon v5e tunnel),
+        # and dispatch is cheap — the expensive work is the host gather.
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         stop = threading.Event()
         done = object()  # completion sentinel (the cyclic stream never ends,
@@ -96,7 +101,7 @@ class BatchIterator:
                 for batch in it:
                     if stop.is_set():
                         return
-                    q.put(self._put(batch))
+                    q.put(batch)
                 q.put(done)
             except BaseException as e:  # surface reader errors on the consumer
                 q.put(e)
@@ -106,13 +111,19 @@ class BatchIterator:
         )
         thread.start()
         try:
+            device_ahead = []
             while True:
                 item = q.get()
                 if item is done:
-                    return
+                    break
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                device_ahead.append(self._put(item))
+                if len(device_ahead) > 1:
+                    yield device_ahead.pop(0)
+            while device_ahead:
+                yield device_ahead.pop(0)
+            return
         finally:
             stop.set()
             # Unblock a worker stuck in q.put so it can observe `stop`.
