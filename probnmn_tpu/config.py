@@ -196,6 +196,13 @@ class Config:
             "MODULE_CHANNELS": 128,
             "CLASS_PROJECTION_CHANNELS": 1024,
             "CLASSIFIER_LINEAR_SIZE": 1024,
+            # Conv/matmul compute dtype for the NMN stack (new key, no
+            # reference counterpart — torch runs f32). "auto" selects bfloat16
+            # on TPU generations that run the fused Pallas interpreter (the
+            # MXU multiplies in bf16 with f32 accumulation; answer logits stay
+            # f32; metric parity vs the f32 path is evaluator-tested) and
+            # float32 everywhere else. Set "float32" to force strict f32.
+            "COMPUTE_DTYPE": "auto",
         }
 
         # Loss coefficients (names as per paper equations).

@@ -44,6 +44,7 @@ class BatchIterator:
         device_put: bool = True,
         prefetch: int = 2,
         sharding=None,
+        sort_descending_by: Optional[str] = None,
     ):
         self._dataset = dataset
         self._sampler = sampler
@@ -54,6 +55,13 @@ class BatchIterator:
         # Optional jax.sharding.Sharding: place batches directly onto the mesh
         # (batch axis over 'data') instead of the default device.
         self._sharding = sharding
+        # Optional key (e.g. "supervision"): stable-sort each batch's rows by
+        # that field, descending, and attach the host-side count of nonzero
+        # rows under "_num_<key>" (a plain int, never shipped to the device).
+        # The semi-supervised trainers use this to run each pass on a static
+        # supervised/unsupervised window (training/_subbatch.py). Sorting on
+        # the gather thread is free relative to the h5py reads.
+        self._sort_key = sort_descending_by
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         while True:
@@ -66,12 +74,27 @@ class BatchIterator:
             batch = self._dataset.get_batch(indices)
             if self._transform is not None:
                 batch = self._transform(batch)
+            if self._sort_key is not None:
+                key_values = np.asarray(batch[self._sort_key])
+                order = np.argsort(-key_values.astype(np.int64), kind="stable")
+                batch = {k: v[order] for k, v in batch.items()}
+                batch["_num_" + self._sort_key] = int(
+                    np.count_nonzero(key_values)
+                )
             yield batch
 
     def _put(self, batch):
         if not self._device_put:
             return batch
-        return jax.device_put(batch, self._sharding)
+        # Keys starting with "_" are host-side metadata (plain Python scalars),
+        # not batch arrays — they stay on the host.
+        meta = {k: v for k, v in batch.items() if k.startswith("_")}
+        if not meta:
+            return jax.device_put(batch, self._sharding)
+        arrays = {k: v for k, v in batch.items() if not k.startswith("_")}
+        out = jax.device_put(arrays, self._sharding)
+        out.update(meta)
+        return out
 
     def __iter__(self):
         it = self._host_batches()

@@ -123,6 +123,16 @@ def make_spec(vocabulary: Vocabulary, config=None) -> NMNSpec:
             class_projection_channels=c.CLASS_PROJECTION_CHANNELS,
             classifier_linear_size=c.CLASSIFIER_LINEAR_SIZE,
         )
+        dtype = getattr(c, "COMPUTE_DTYPE", "auto")
+        if dtype == "auto":
+            # bf16 on TPU generations that run the fused Pallas interpreter
+            # (its VMEM-resident banks and MXU rate are sized for bf16;
+            # accumulation stays f32); f32 elsewhere — CPU parity tests and
+            # small-VMEM TPUs keep the reference's torch numerics.
+            from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
+            dtype = "bfloat16" if tpu_fused_kernels_supported() else "float32"
+        kwargs["compute_dtype"] = dtype
     return NMNSpec(
         token_kind=kind,
         token_bank=bank,

@@ -71,6 +71,12 @@ class _Trainer:
             from probnmn_tpu.parallel.mesh import shard_params
 
             self._params = shard_params(mesh, self._params)
+        else:
+            # Host-initialized parameters go to the device once, here — so the
+            # first train step doesn't pay (and, through a tunneled runtime,
+            # repay) the full parameter upload, and the optimizer state below
+            # is created device-resident.
+            self._params = jax.device_put(self._params)
 
         self._tx = make_optimizer(
             self._C.OPTIM.LR_INITIAL, self._C.OPTIM.WEIGHT_DECAY
@@ -89,6 +95,26 @@ class _Trainer:
         self._baseline = np.float32(0.0)  # REINFORCE moving-average baseline
         self._iteration: int = -1
         self._step_timer = StepTimer(batch_size=self._C.OPTIM.BATCH_SIZE)
+        # Static sub-batch windowing state (training/_subbatch.py); phase
+        # trainers that window set _sub_cap and build both step variants.
+        self._sub_cap = None
+        self._train_step_full = None
+
+    def _select_step(self, batch: Dict[str, Any]):
+        r"""Windowed train step when the batch's supervised/unsupervised counts
+        fit the static windows (training/_subbatch.py); otherwise the full-batch
+        fallback (compiled lazily — with the 50/50 weighted sampler an overflow
+        is a ~1e-15-probability event at batch 256)."""
+        from probnmn_tpu.training import _subbatch
+
+        n_sup = batch.pop(_subbatch.COUNT_KEY, None)
+        if self._sub_cap is None or _subbatch.fits(
+            n_sup, self._C.OPTIM.BATCH_SIZE, self._sub_cap
+        ):
+            return self._train_step
+        if self._train_step_full is None:
+            self._train_step_full = self._build_step_fn(None)
+        return self._train_step_full
 
     # ------------------------------------------------------------------ step ----------
     def step(self, iteration: Optional[int] = None) -> None:

@@ -34,6 +34,7 @@ from probnmn_tpu.modules.elbo import (
     reinforce,
 )
 from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
+from probnmn_tpu.training import _subbatch
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.training.program_prior_trainer import make_prior_spec
 from probnmn_tpu.utils.checkpointing import load_objects_flexible
@@ -65,7 +66,8 @@ class JointTrainingTrainer(_Trainer):
         )
         mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE, model_parallel)
         batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE,
-                                sharding=batch_sharding(mesh) if mesh else None)
+                                sharding=batch_sharding(mesh) if mesh else None,
+                                sort_descending_by=_subbatch.SORT_KEY)
 
         self.pg_spec = program_generator.make_spec(vocabulary, config)
         self.qr_spec = question_reconstructor.make_spec(vocabulary, config)
@@ -109,9 +111,16 @@ class JointTrainingTrainer(_Trainer):
         )
         self._prior_params = self._replicate(restored["program_prior"])
 
-        self._train_step = self._build_step_fn()
+        # Static supervised/unsupervised windows over the sorted batch
+        # (training/_subbatch.py): each pass runs only on its subset, like the
+        # reference's dynamic split (joint_training_trainer.py:131-132).
+        self._sub_cap = _subbatch.subbatch_cap(config.OPTIM.BATCH_SIZE, mesh)
+        self._train_step = self._build_step_fn(self._sub_cap)
+        self._train_step_full = (
+            self._train_step if self._sub_cap is None else None
+        )  # full-batch fallback, compiled only if a batch overflows the window
 
-    def _build_step_fn(self):
+    def _build_step_fn(self, cap=None):
         pg_spec, qr_spec, nmn_spec, prior_spec = (
             self.pg_spec, self.qr_spec, self.nmn_spec, self.prior_spec,
         )
@@ -162,7 +171,19 @@ class JointTrainingTrainer(_Trainer):
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
             keys = jax.random.split(rng, 5)
             sup = batch["supervision"].astype(jnp.float32)
-            unsup = 1.0 - sup
+            # Static sub-batch windows over the supervised-first-sorted batch
+            # (no-ops when cap is None): the whole unsupervised side — sampling,
+            # reconstruction, prior, NMN — runs on the tail window, the
+            # supervised teacher-forced passes on the head window, masks applied
+            # inside each window — exactly the reference's per-subset passes
+            # (reference joint_training_trainer.py:131-132) with static shapes.
+            q_sup = _subbatch.head(batch["question"], cap)
+            prog_sup = _subbatch.head(batch["program"], cap)
+            sup_w = _subbatch.head(sup, cap)
+            q_unsup = _subbatch.tail(batch["question"], cap)
+            image_unsup = _subbatch.tail(batch["image"], cap)
+            answer_unsup = _subbatch.tail(batch["answer"], cap)
+            unsup_w = _subbatch.tail(1.0 - sup, cap)
 
             def loss_fn(p):
                 # --- unsupervised subset: sample z, reconstruct x, answer via NMN ---
@@ -175,46 +196,49 @@ class JointTrainingTrainer(_Trainer):
                     pg_frozen = jax.lax.stop_gradient(p["program_generator"])
                     if mesh is not None:
                         z = fused_sampling_forward_dp(
-                            mesh, pg_frozen, pg_spec, batch["question"], keys[0]
+                            mesh, pg_frozen, pg_spec, q_unsup, keys[0]
                         )
                     else:
                         z = fused_sampling_forward(
-                            pg_frozen, pg_spec, batch["question"], keys[0]
+                            pg_frozen, pg_spec, q_unsup, keys[0]
                         )["predictions"]
                     pg_free = {"loss": tf_loss(
-                        p["program_generator"], pg_spec, batch["question"], z, True,
+                        p["program_generator"], pg_spec, q_unsup, z, True,
                     ), "predictions": z}
                     qr_rec = {"loss": tf_loss(
-                        p["question_reconstructor"], qr_spec, z, batch["question"],
+                        p["question_reconstructor"], qr_spec, z, q_unsup,
                     )}
                 else:
                     pg_free = seq2seq_forward(
                         p["program_generator"], pg_spec,
-                        batch["question"], None, "sampling", keys[0], train=True,
+                        q_unsup, None, "sampling", keys[0], train=True,
                     )
                     z = pg_free["predictions"]
                     qr_rec = seq2seq_forward(
                         p["question_reconstructor"], qr_spec,
-                        z, batch["question"], "sampling", keys[1], train=True,
+                        z, q_unsup, "sampling", keys[1], train=True,
                     )
                 nmn_out = nmn_forward(
-                    p["nmn"], nmn_spec, image_to_nhwc(batch["image"]), z, batch["answer"]
+                    p["nmn"], nmn_spec, image_to_nhwc(image_unsup), z, answer_unsup
                 )
-                nmn_loss = masked_mean(nmn_out["loss"], unsup)
+                nmn_loss = masked_mean(nmn_out["loss"], unsup_w)
 
                 logprobs_generation = -pg_free["loss"]
                 logprobs_answering = -nmn_out["loss"]
 
                 if objective == "baseline":
                     reinforce_term, new_baseline = reinforce(
-                        pg_free["loss"], logprobs_answering, baseline, delta, mask=unsup
+                        pg_free["loss"], logprobs_answering, baseline, delta,
+                        mask=unsup_w,
                     )
-                    elbo = masked_mean(reinforce_term, unsup)
+                    elbo = masked_mean(reinforce_term, unsup_w)
                     logs = {
                         "loss": {"nmn": nmn_loss},
                         "elbo": {
                             "elbo": elbo,
-                            "reinforce_reward": masked_mean(logprobs_answering, unsup),
+                            "reinforce_reward": masked_mean(
+                                logprobs_answering, unsup_w
+                            ),
                         },
                     }
                     total = gamma * nmn_loss - elbo
@@ -235,7 +259,7 @@ class JointTrainingTrainer(_Trainer):
                 )
                 diagnostics, new_baseline = elbo_with_reinforce(
                     logprobs_generation, logprobs_reconstruction, reward,
-                    baseline, beta, delta, mask=unsup,
+                    baseline, beta, delta, mask=unsup_w,
                 )
                 elbo = diagnostics.pop("elbo")
                 diagnostics.pop("elbo_per_example")
@@ -243,24 +267,22 @@ class JointTrainingTrainer(_Trainer):
                 # --- supervised subset: teacher-forced PG/QR (reference :154-177) ---
                 if use_fused:
                     pg_sup = {"loss": tf_loss(
-                        p["program_generator"], pg_spec,
-                        batch["question"], batch["program"],
+                        p["program_generator"], pg_spec, q_sup, prog_sup,
                     )}
                     qr_sup = {"loss": tf_loss(
-                        p["question_reconstructor"], qr_spec,
-                        batch["program"], batch["question"],
+                        p["question_reconstructor"], qr_spec, prog_sup, q_sup,
                     )}
                 else:
                     pg_sup = seq2seq_forward(
                         p["program_generator"], pg_spec,
-                        batch["question"], batch["program"], "sampling", keys[3], train=True,
+                        q_sup, prog_sup, "sampling", keys[3], train=True,
                     )
                     qr_sup = seq2seq_forward(
                         p["question_reconstructor"], qr_spec,
-                        batch["program"], batch["question"], "sampling", keys[4], train=True,
+                        prog_sup, q_sup, "sampling", keys[4], train=True,
                     )
-                pg_loss_sup = masked_mean(pg_sup["loss"], sup)
-                qr_loss_sup = masked_mean(qr_sup["loss"], sup)
+                pg_loss_sup = masked_mean(pg_sup["loss"], sup_w)
+                qr_loss_sup = masked_mean(qr_sup["loss"], sup_w)
 
                 logs = {
                     "loss": {
@@ -285,7 +307,8 @@ class JointTrainingTrainer(_Trainer):
         return train_step
 
     def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        self._params, self._opt_state, self._baseline, logs = self._train_step(
+        step = self._select_step(batch)
+        self._params, self._opt_state, self._baseline, logs = step(
             self._params, self._opt_state, self._baseline, self.next_rng(),
             batch, self._prior_params,
         )

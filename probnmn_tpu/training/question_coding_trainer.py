@@ -3,9 +3,13 @@ Phase 2 trainer: Question Coding — semi-supervised seq2seq VAE with REINFORCE
 (reference ``probnmn/trainers/question_coding_trainer.py``).
 
 The reference splits each batch into supervised / unsupervised sub-batches with
-dynamic ``nonzero`` gathers; here both paths run over the full fixed-shape batch
-and every mean is weighted by the supervision flag — numerically identical, and
-jit/pjit-friendly (SURVEY.md §7 step 4).
+dynamic ``nonzero`` gathers; here the batch pipeline sorts each batch
+supervised-first and every pass runs on a STATIC head (supervised) or tail
+(unsupervised) window with the supervision mask applied inside the window
+(``training/_subbatch.py``) — the reference's per-subset economics with
+jit-static shapes (SURVEY.md §7 step 4). When windowing is off (tiny batches,
+or the rare window overflow) both paths run over the full fixed-shape batch
+with mask weighting — numerically identical.
 """
 from __future__ import annotations
 
@@ -29,6 +33,7 @@ from probnmn_tpu.modules.elbo import (
     question_coding_reward,
 )
 from probnmn_tpu.parallel.mesh import auto_mesh, batch_sharding
+from probnmn_tpu.training import _subbatch
 from probnmn_tpu.training._trainer import _Trainer
 from probnmn_tpu.training.program_prior_trainer import make_prior_spec
 from probnmn_tpu.utils.checkpointing import load_objects_flexible
@@ -51,7 +56,8 @@ class QuestionCodingTrainer(_Trainer):
         )
         mesh = auto_mesh(num_devices, config.OPTIM.BATCH_SIZE, model_parallel)
         batches = BatchIterator(dataset, sampler, config.OPTIM.BATCH_SIZE,
-                                sharding=batch_sharding(mesh) if mesh else None)
+                                sharding=batch_sharding(mesh) if mesh else None,
+                                sort_descending_by=_subbatch.SORT_KEY)
 
         self.pg_spec = program_generator.make_spec(vocabulary, config)
         self.qr_spec = question_reconstructor.make_spec(vocabulary, config)
@@ -73,9 +79,16 @@ class QuestionCodingTrainer(_Trainer):
         )
         self._prior_params = self._replicate(restored["program_prior"])
 
-        self._train_step = self._build_step_fn()
+        # Static supervised/unsupervised windows over the sorted batch
+        # (training/_subbatch.py): each pass runs only on its subset, like the
+        # reference's dynamic split (question_coding_trainer.py:112-113).
+        self._sub_cap = _subbatch.subbatch_cap(config.OPTIM.BATCH_SIZE, mesh)
+        self._train_step = self._build_step_fn(self._sub_cap)
+        self._train_step_full = (
+            self._train_step if self._sub_cap is None else None
+        )  # full-batch fallback, compiled only if a batch overflows the window
 
-    def _build_step_fn(self):
+    def _build_step_fn(self, cap=None):
         pg_spec, qr_spec, prior_spec = self.pg_spec, self.qr_spec, self.prior_spec
         tx = self._tx
         alpha, beta, delta = self._C.ALPHA, self._C.BETA, self._C.DELTA
@@ -117,29 +130,37 @@ class QuestionCodingTrainer(_Trainer):
         def train_step(params, opt_state, baseline, rng, batch, prior_params):
             keys = jax.random.split(rng, 5)
             sup = batch["supervision"].astype(jnp.float32)
+            # Static sub-batch windows over the supervised-first-sorted batch
+            # (no-ops when cap is None): supervised passes see the head window,
+            # unsupervised passes the tail, masks applied inside each window —
+            # exactly the reference's per-subset passes (reference
+            # question_coding_trainer.py:112-113) with jit-static shapes.
+            q_sup = _subbatch.head(batch["question"], cap)
+            prog_sup = _subbatch.head(batch["program"], cap)
+            sup_w = _subbatch.head(sup, cap)
+            q_unsup = _subbatch.tail(batch["question"], cap)
+            unsup_w = _subbatch.tail(1.0 - sup, cap)
 
             def loss_fn(p):
                 # Supervised teacher-forced losses (means over the supervised subset).
                 if use_fused:
                     pg_sup = {"loss": tf_loss(
-                        p["program_generator"], pg_spec,
-                        batch["question"], batch["program"],
+                        p["program_generator"], pg_spec, q_sup, prog_sup,
                     )}
                     qr_sup = {"loss": tf_loss(
-                        p["question_reconstructor"], qr_spec,
-                        batch["program"], batch["question"],
+                        p["question_reconstructor"], qr_spec, prog_sup, q_sup,
                     )}
                 else:
                     pg_sup = seq2seq_forward(
                         p["program_generator"], pg_spec,
-                        batch["question"], batch["program"], "sampling", keys[0], train=True,
+                        q_sup, prog_sup, "sampling", keys[0], train=True,
                     )
                     qr_sup = seq2seq_forward(
                         p["question_reconstructor"], qr_spec,
-                        batch["program"], batch["question"], "sampling", keys[1], train=True,
+                        prog_sup, q_sup, "sampling", keys[1], train=True,
                     )
-                pg_loss_sup = masked_mean(pg_sup["loss"], sup)
-                qr_loss_sup = masked_mean(qr_sup["loss"], sup)
+                pg_loss_sup = masked_mean(pg_sup["loss"], sup_w)
+                qr_loss_sup = masked_mean(qr_sup["loss"], sup_w)
 
                 logs: Dict[str, Any] = {
                     "loss": {
@@ -152,7 +173,6 @@ class QuestionCodingTrainer(_Trainer):
                     return total, (baseline, logs)
 
                 # ELBO over the unsupervised subset: z ~ q(z|x), reconstruct, prior.
-                unsup = 1.0 - sup
                 if use_fused:
                     # Two-pass free-running decode: sample z with the fused
                     # sampling kernel (sampling is a stop-gradient), then get
@@ -167,18 +187,17 @@ class QuestionCodingTrainer(_Trainer):
                     pg_frozen = jax.lax.stop_gradient(p["program_generator"])
                     if mesh is not None:
                         z = fused_sampling_forward_dp(
-                            mesh, pg_frozen, pg_spec, batch["question"], keys[2]
+                            mesh, pg_frozen, pg_spec, q_unsup, keys[2]
                         )
                     else:
                         z = fused_sampling_forward(
-                            pg_frozen, pg_spec, batch["question"], keys[2]
+                            pg_frozen, pg_spec, q_unsup, keys[2]
                         )["predictions"]
                     pg_free = {"loss": tf_loss(
-                        p["program_generator"], pg_spec,
-                        batch["question"], z, True,
+                        p["program_generator"], pg_spec, q_unsup, z, True,
                     ), "predictions": z}
                     qr_rec = {"loss": tf_loss(
-                        p["question_reconstructor"], qr_spec, z, batch["question"],
+                        p["question_reconstructor"], qr_spec, z, q_unsup,
                     )}
                     # Frozen prior: fused LM forward (loss is rng-independent;
                     # the prior's logprobs only enter the detached reward).
@@ -186,12 +205,12 @@ class QuestionCodingTrainer(_Trainer):
                 else:
                     pg_free = seq2seq_forward(
                         p["program_generator"], pg_spec,
-                        batch["question"], None, "sampling", keys[2], train=True,
+                        q_unsup, None, "sampling", keys[2], train=True,
                     )
                     z = pg_free["predictions"]
                     qr_rec = seq2seq_forward(
                         p["question_reconstructor"], qr_spec,
-                        z, batch["question"], "sampling", keys[3], train=True,
+                        z, q_unsup, "sampling", keys[3], train=True,
                     )
                     prior_out = program_prior_forward(
                         prior_params, prior_spec, z, keys[4]
@@ -205,7 +224,7 @@ class QuestionCodingTrainer(_Trainer):
                 )
                 diagnostics, new_baseline = elbo_with_reinforce(
                     logprobs_generation, logprobs_reconstruction, reward,
-                    baseline, beta, delta, mask=unsup,
+                    baseline, beta, delta, mask=unsup_w,
                 )
                 elbo = diagnostics.pop("elbo")
                 diagnostics.pop("elbo_per_example")
@@ -223,7 +242,8 @@ class QuestionCodingTrainer(_Trainer):
         return train_step
 
     def _do_iteration(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        self._params, self._opt_state, self._baseline, logs = self._train_step(
+        step = self._select_step(batch)
+        self._params, self._opt_state, self._baseline, logs = step(
             self._params, self._opt_state, self._baseline, self.next_rng(),
             batch, self._prior_params,
         )
