@@ -178,6 +178,15 @@ def main():
     )
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--serialization-dir", default=None)
+    parser.add_argument(
+        "--regime", default="random", choices=["random", "converged"],
+        help="random: z is whatever the (untrained) PG samples — mostly "
+        "invalid programs, cheap via the interpreter's early-abort. "
+        "converged: valid CLEVR-like programs are substituted for z (the "
+        "sampling decode still runs and its cost is kept) — every program "
+        "pays its full module chains forward AND backward, the honest "
+        "late-training bound.",
+    )
     args = parser.parse_args()
 
     root = args.serialization_dir or tempfile.mkdtemp(prefix="bench_train_")
@@ -187,6 +196,43 @@ def main():
     if not os.path.exists(os.path.join(root, "train_tokens.h5")):
         build_data(root, vocab)
         build_checkpoints(root, vocab, config)
+
+    if args.regime == "converged":
+        # Swap the sampled z for realistic VALID programs at the sampling-kernel
+        # boundary, keeping the decode's own cost in the step (its predictions
+        # feed the substitution so XLA cannot dead-code it). Everything
+        # downstream — REINFORCE replay, reconstruction, prior, the NMN's full
+        # module chains fwd+bwd — runs exactly as a converged model would.
+        import jax.numpy as jnp
+
+        from probnmn_tpu.ops.pallas import seq2seq_decode as decode_mod
+
+        z_valid = jnp.asarray(
+            np.asarray(sample_clevr_like_programs(vocab, args.batch_size, seed=7))
+        )
+
+        def _substitute(tokens):
+            z = z_valid[: tokens.shape[0]]
+            width = min(z.shape[1], tokens.shape[1])
+            out = jnp.zeros_like(tokens)
+            return out.at[:, :width].set(
+                z[:, :width] + 0 * tokens[:, :1].astype(z.dtype)
+            )
+
+        orig_sample, orig_sample_dp = (
+            decode_mod.fused_sampling_forward, decode_mod.fused_sampling_forward_dp,
+        )
+
+        def patched(params, spec, source, key, **kw):
+            out = dict(orig_sample(params, spec, source, key, **kw))
+            out["predictions"] = _substitute(out["predictions"])
+            return out
+
+        def patched_dp(mesh, params, spec, source, key, **kw):
+            return _substitute(orig_sample_dp(mesh, params, spec, source, key, **kw))
+
+        decode_mod.fused_sampling_forward = patched
+        decode_mod.fused_sampling_forward_dp = patched_dp
 
     if args.phase == "joint_training":
         from probnmn_tpu.training.joint_training_trainer import JointTrainingTrainer
@@ -203,6 +249,7 @@ def main():
             {
                 "phase": args.phase,
                 "batch_size": args.batch_size,
+                "regime": args.regime,
                 "ms_per_step": round(1e3 * sec, 2),
                 "examples_per_sec": round(args.batch_size / sec, 1),
             }
