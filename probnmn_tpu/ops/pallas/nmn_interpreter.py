@@ -21,11 +21,14 @@ This kernel executes each example's program *exactly*:
   grad bank) are likewise VMEM-resident accumulators written back once at
   kernel end;
 - a 3x3 conv at STATIC dilation d keeps the image as a row-pitched flat VALUE
-  (16-wide pitch for d=1 chains, 32-wide for relate's dilations, pad columns
-  between rows) so each tap is a STATIC contiguous slice streamed straight to
-  the MXU as one of 9 accumulating (slice, C) x (C, C) dots — no im2col patch
-  materialization (which cost ~2/3 of the old 2.0 µs/conv; now 0.48 µs).
-  Chains are straight-line per kind with a static dilation schedule;
+  (pitch 14+2d with d pad columns between rows — each dilation gets the
+  TIGHTEST geometry it admits, since conv cost is linear in the sublane
+  window: 224/248/304/432 rows for d=1/2/4/8) so each tap is a STATIC
+  contiguous slice streamed straight to the MXU as one of 9 accumulating
+  (slice, C) x (C, C) dots — no im2col patch materialization (which cost
+  ~2/3 of the old 2.0 µs/conv; now 0.48 µs). Chains are straight-line per
+  kind with a static dilation schedule; relate's mixed-dilation chain
+  switches geometry between layers via compact -> to_flat;
 - the tag/dispatch machine is pure scalar SMEM math; the scene/and/or
   register updates sit behind their own small ``@pl.when`` (most steps are
   chain steps that skip their ~300 KB of select traffic) and ALL module
@@ -78,9 +81,11 @@ def _flat_conv_helpers(H, W, C):
     between rows), so every 3x3 tap is a STATIC contiguous slice fed straight
     to the MXU as one of 9 accumulating dots — no im2col patch materialization
     (the strided patch copies were ~2/3 of the old 2.0 µs/conv; now
-    0.48 µs/conv). d=1 chains use a 16-wide pitch with 1-pixel pads; relate's
-    dilated chain (d up to 8) a 32-wide pitch with 8-pixel pads. Pad positions
-    are re-zeroed after every layer, reproducing exact zero-padding semantics.
+    0.48 µs/conv). Each dilation d gets its own geometry — pitch 14+2d with
+    d-pixel pads (``GD`` maps dilation -> geometry) — because conv cost is
+    linear in the sublane window ``sl``: 224/248/304/432 rows for d=1/2/4/8.
+    Pad positions are re-zeroed after every layer, reproducing exact
+    zero-padding semantics.
     """
     HW = H * W
 
@@ -134,8 +139,10 @@ def _flat_conv_helpers(H, W, C):
                 )
         return tot
 
-    return dict(G1=_geom(16, 1), G8=_geom(32, 8), to_flat=to_flat,
-                refold=refold, compact=compact, conv=conv)
+    G1, G2, G4, G8 = _geom(16, 1), _geom(18, 2), _geom(22, 4), _geom(32, 8)
+    return dict(G1=G1, G2=G2, G4=G4, G8=G8,
+                GD={1: G1, 2: G2, 4: G4, 8: G8},
+                to_flat=to_flat, refold=refold, compact=compact, conv=conv)
 
 
 # ------------------------------------------------------------------ host tables -------
@@ -308,7 +315,7 @@ def _interpreter_kernel(
     tag_ref[2] = 0  # invalid
 
     fh = _flat_conv_helpers(H, W, C)
-    G1, G8 = fh["G1"], fh["G8"]
+    G1, GD = fh["G1"], fh["GD"]
     to_flat, refold, compact = fh["to_flat"], fh["refold"], fh["compact"]
 
     def conv3x3_flat(flat_bf16, slot, dilation: int, g):
@@ -380,16 +387,28 @@ def _interpreter_kernel(
 
             @pl.when(do_chain & (kind == RELATE))
             def _():
-                # straight-line 5-layer dilated chain + sigmoid head
-                flat = to_flat((x * out_reg[...]).astype(jnp.float32), G8).astype(dtype)
+                # straight-line 5-layer dilated chain + sigmoid head. Each
+                # layer runs in the TIGHTEST geometry its dilation allows
+                # (conv cost is linear in the sublane window: 224/248/304/432
+                # rows for d=1/2/4/8 vs 432 for all five in G8 — a ~1.5 us
+                # cut per relate); unlike-geometry transitions go through
+                # compact -> to_flat instead of the same-geometry refold.
+                dils = (1, 2, 4, 8, 1)
+                flat = to_flat(
+                    (x * out_reg[...]).astype(jnp.float32), GD[dils[0]]
+                ).astype(dtype)
                 res = None
-                for l, dil in enumerate((1, 2, 4, 8, 1)):
+                for l, dil in enumerate(dils):
                     res = jnp.maximum(
-                        conv3x3_flat(flat, slot3_ref[tok, l], dil, G8), 0.0
+                        conv3x3_flat(flat, slot3_ref[tok, l], dil, GD[dil]), 0.0
                     )
                     if l + 1 < 5:
-                        flat = refold(res, G8).astype(dtype)
-                acc[...] = compact(res, G8)
+                        nxt = GD[dils[l + 1]]
+                        if nxt is GD[dil]:
+                            flat = refold(res, GD[dil]).astype(dtype)
+                        else:
+                            flat = to_flat(compact(res, GD[dil]), nxt).astype(dtype)
+                acc[...] = compact(res, GD[dils[-1]])
                 hs = head_slot_ref[tok]
                 head = jnp.dot(
                     acc[...].astype(dtype), w1_ref[hs],
@@ -649,7 +668,7 @@ def _interpreter_bwd_kernel(
 
     # --- shared helpers --------------------------------------------------------
     fh = _flat_conv_helpers(H, W, C)
-    G1, G8 = fh["G1"], fh["G8"]
+    G1, GD = fh["G1"], fh["GD"]
     to_flat, compact_out = fh["to_flat"], fh["compact"]
 
     def conv_flat(flat_vals, slot, dilation: int, g):
@@ -728,11 +747,14 @@ def _interpreter_bwd_kernel(
         img = ginp_flat.reshape(g["flat"] // g["pitch"], g["pitch"], C)
         return img[g["pad"]:g["pad"] + H, g["pad"]:g["pad"] + W, :].reshape(HW, C)
 
-    def chain_bwd(tok, dils, g):
+    def chain_bwd(tok, dils):
         r"""Recompute a conv chain from the stored entry register into ``acts``
-        (compact f32 per layer); the reverse sweep backprops from them."""
+        (compact f32 per layer); the reverse sweep backprops from them. Each
+        layer runs in the tightest geometry its dilation allows (``GD``),
+        mirroring the forward kernel."""
         L = len(dils)
         for l in range(L):
+            g = GD[dils[l]]
             flat = to_flat(acts[l], g).astype(dtype)
             z = conv_flat(flat, slot3_ref[tok, l], dils[l], g)
             acts[l + 1] = compact_out(jnp.maximum(z, 0.0), g)
@@ -783,7 +805,7 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
                     acts[0] = (x * entry_out).astype(f32)
-                    chain_bwd(tok, (1, 2, 4, 8, 1), G8)
+                    chain_bwd(tok, (1, 2, 4, 8, 1))
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
                     reg_out[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
@@ -791,7 +813,7 @@ def _interpreter_bwd_kernel(
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
                     acts[0] = (x * entry_out).astype(f32)
-                    chain_bwd(tok, (1, 1), G1)
+                    chain_bwd(tok, (1, 1))
 
                     @pl.when(has_head)
                     def _():
@@ -813,7 +835,7 @@ def _interpreter_bwd_kernel(
                         + bcmp_ref[cs][0:1, :C].astype(f32)
                     )
                     acts[0] = jnp.maximum(proj, 0.0)
-                    chain_bwd(tok, (1, 1), G1)
+                    chain_bwd(tok, (1, 1))
                     reg_out[...] = acts[2].astype(dtype)
 
                 @pl.when(is_same)
@@ -902,7 +924,8 @@ def _interpreter_bwd_kernel(
                     g_a = head_bwd(acts[5], hs, attn, go)
                     for l, dil in ((4, 1), (3, 8), (2, 4), (1, 2), (0, 1)):
                         g_a = conv_layer_bwd(
-                            g_a, slot3_ref[tok, l], dil, acts[l], acts[l + 1], G8
+                            g_a, slot3_ref[tok, l], dil, acts[l], acts[l + 1],
+                            GD[dil],
                         )
                     dx_acc[...] = dx_acc[...] + g_a * out_in.astype(f32)
                     g_out[...] = g_a * x.astype(f32)

@@ -311,7 +311,10 @@ def test_flat_conv_geometry_matches_lax_conv():
     img = jnp.asarray(rs.randn(H * W, C).astype(np.float32))
     w9 = jnp.asarray(rs.randn(1, 9 * C, C).astype(np.float32) * 0.05)
 
-    for dil, gname in ((1, "G1"), (2, "G8"), (4, "G8"), (8, "G8")):
+    # Every (dilation, geometry) pair the kernels use: the tight per-dilation
+    # geometries (GD) plus G8 as a catch-all that must stay valid for d <= 8.
+    for dil, gname in ((1, "G1"), (2, "G2"), (4, "G4"), (8, "G8"),
+                       (2, "G8"), (4, "G8"), (1, "G2")):
 
         def kern(x_ref, w_ref, o_ref, _dil=dil, _gname=gname):
             # the helpers build iota masks, which must trace inside the kernel
