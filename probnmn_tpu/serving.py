@@ -55,7 +55,17 @@ class InferenceEngine:
         batch_size: int = 256,
         rng_seed: int = 0,
         num_devices: Optional[int] = None,
+        compilation_cache_dir: Optional[str] = None,
     ):
+        if compilation_cache_dir is not None:
+            # Persist the compiled pipeline across restarts (the first-batch
+            # compile is tens of seconds): "auto" resolves to
+            # $PROBNMN_COMPILATION_CACHE or ~/.cache/probnmn_tpu/xla.
+            from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
+
+            enable_compilation_cache(
+                None if compilation_cache_dir == "auto" else compilation_cache_dir
+            )
         self._vocabulary = vocabulary
         self._pg_spec = pg_spec
         self._nmn_spec = nmn_spec
@@ -129,6 +139,7 @@ class InferenceEngine:
     def from_checkpoint(
         cls, config, checkpoint_path: str, batch_size: Optional[int] = None,
         compute_dtype: str = "bfloat16", num_devices: Optional[int] = None,
+        compilation_cache_dir: Optional[str] = None,
     ) -> "InferenceEngine":
         r"""Load PG + NMN from a joint/module checkpoint (native ``.ckpt`` or
         reference ``.pth``) exactly like ``scripts/inference.py``."""
@@ -155,6 +166,7 @@ class InferenceEngine:
             batch_size=batch_size or config.OPTIM.BATCH_SIZE,
             rng_seed=config.RANDOM_SEED,
             num_devices=num_devices,
+            compilation_cache_dir=compilation_cache_dir,
         )
 
     # ------------------------------------------------------------------ sync

@@ -27,6 +27,12 @@ parser = argparse.ArgumentParser(
 parser.add_argument("--config-yml", required=True)
 parser.add_argument("--config-override", nargs="*", default=[])
 parser.add_argument("--gpu-ids", nargs="+", type=int, default=[0], help="Ignored.")
+parser.add_argument(
+    "--compilation-cache-dir",
+    default="",
+    help="Enable JAX's persistent XLA compilation cache rooted here "
+    "('auto' = $PROBNMN_COMPILATION_CACHE or ~/.cache/probnmn_tpu/xla).",
+)
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--checkpoint-path", required=True)
 parser.add_argument(
@@ -37,6 +43,16 @@ parser.add_argument(
 
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    if args.compilation_cache_dir:
+        from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
+
+        logging.info(
+            "Persistent XLA compilation cache: %s",
+            enable_compilation_cache(
+                None if args.compilation_cache_dir == "auto"
+                else args.compilation_cache_dir
+            ),
+        )
     config = Config(args.config_yml, args.config_override)
     np.random.seed(config.RANDOM_SEED)
 

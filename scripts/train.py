@@ -69,6 +69,13 @@ parser.add_argument(
     help="Devices per data shard reserved for the 'model' mesh axis (NMN bank "
     "expert-parallelism / classifier sharding); must divide --num-devices.",
 )
+parser.add_argument(
+    "--compilation-cache-dir",
+    default="",
+    help="Enable JAX's persistent XLA compilation cache rooted here (or at "
+    "$PROBNMN_COMPILATION_CACHE / ~/.cache/probnmn_tpu/xla when given as "
+    "'auto'): later runs skip the multi-second first-step compile.",
+)
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--serialization-dir", default="checkpoints/experiment")
 parser.add_argument("--checkpoint-every", type=int, default=500)
@@ -91,6 +98,14 @@ EVALUATORS = {
 
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    if args.compilation_cache_dir:
+        from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
+
+        path = enable_compilation_cache(
+            None if args.compilation_cache_dir == "auto"
+            else args.compilation_cache_dir
+        )
+        logging.info("Persistent XLA compilation cache: %s", path)
     config = Config(args.config_yml, args.config_override)
     if args.phase != config.PHASE:
         raise ValueError(

@@ -186,22 +186,34 @@ def test_inference_script(pipeline, tmp_path):
 
 
 def test_evaluate_script(pipeline):
-    """scripts/evaluate.py end-to-end: loads a checkpoint, runs the val split."""
+    """scripts/evaluate.py end-to-end: loads a checkpoint, runs the val split;
+    also exercises --compilation-cache-dir (persistent XLA cache wiring)."""
     root = pipeline["root"]
     assert pipeline.get("prior_trained")
+    import glob
     import os
+
+    import jax
+
     from scripts import evaluate
 
     config_path = os.path.join(root, "eval_config.yml")
     make_fixture_config(root, "program_prior").dump(config_path)
+    cache_dir = os.path.join(root, "xla_cache")
+    prev_cache = jax.config.jax_compilation_cache_dir
     args = evaluate.parser.parse_args(
         [
             "--phase", "program_prior",
             "--config-yml", config_path,
             "--checkpoint-path", os.path.join(root, "program_prior_best.ckpt"),
+            "--compilation-cache-dir", cache_dir,
         ]
     )
-    evaluate.main(args)  # logs metrics; must not raise
+    try:
+        evaluate.main(args)  # logs metrics; must not raise
+        assert glob.glob(os.path.join(cache_dir, "*")), "compilation cache empty"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_cache)
 
 
 def test_verify_parity_all_phases_from_reference_pth(tmp_path):
