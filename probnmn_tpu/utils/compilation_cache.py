@@ -41,4 +41,10 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # JAX initializes its on-disk cache singleton lazily ONCE per process; if
+    # any compile already ran (with no cache, or rooted elsewhere), the new
+    # directory would be silently ignored without this reset.
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+
+    _cc.reset_cache()
     return cache_dir

@@ -23,8 +23,14 @@ def test_enable_compilation_cache_populates_dir(tmp_path):
         assert target.is_dir()
         assert jax.config.jax_compilation_cache_dir == path
 
-        # A fresh compile must land entries in the cache directory.
-        float(jax.jit(lambda x: (x * 2.5).sum())(jnp.ones((16, 4))))
+        # A fresh compile must land entries in the cache directory. The
+        # multiplier is unique per run: an identical computation compiled
+        # EARLIER in this process (before the cache was enabled) would be
+        # served from JAX's in-memory executable cache and write nothing.
+        import os as _os
+
+        c = float(int.from_bytes(_os.urandom(4), "little"))
+        float(jax.jit(lambda x: (x * c).sum())(jnp.ones((16, 4))))
         entries = [p for p in glob.glob(str(target / "*")) if p]
         assert entries, "no cache entries written by a jitted computation"
     finally:
@@ -32,3 +38,6 @@ def test_enable_compilation_cache_populates_dir(tmp_path):
         # tmp dir is deleted after the test — later compiles would fail).
         for key, value in prev.items():
             jax.config.update(key, value)
+        from jax.experimental.compilation_cache import compilation_cache as cc
+
+        cc.reset_cache()

@@ -190,7 +190,6 @@ def test_evaluate_script(pipeline):
     also exercises --compilation-cache-dir (persistent XLA cache wiring)."""
     root = pipeline["root"]
     assert pipeline.get("prior_trained")
-    import glob
     import os
 
     import jax
@@ -211,9 +210,18 @@ def test_evaluate_script(pipeline):
     )
     try:
         evaluate.main(args)  # logs metrics; must not raise
-        assert glob.glob(os.path.join(cache_dir, "*")), "compilation cache empty"
+        # The flag routed through: the cache dir was created and configured.
+        # (Entry POPULATION is asserted in test_compilation_cache.py with a
+        # guaranteed-fresh computation — here earlier tests in the process may
+        # have already compiled the evaluator's step functions, in which case
+        # no compile happens during this drive and nothing new is written.)
+        assert os.path.isdir(cache_dir)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_cache)
+        from jax.experimental.compilation_cache import compilation_cache as cc
+
+        cc.reset_cache()  # tmp cache dir is deleted after the test
 
 
 def test_verify_parity_all_phases_from_reference_pth(tmp_path):
