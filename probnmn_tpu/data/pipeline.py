@@ -157,24 +157,33 @@ class BatchIterator:
 
 
 class EpochIterator:
-    r"""Single-pass (evaluation) iterator; drops the final partial batch to keep
-    static shapes, mirroring the reference evaluator's fixed ``num_batches`` loop."""
+    r"""Single-pass (evaluation) iterator; by default drops the final partial
+    batch to keep static shapes, mirroring the reference evaluator's fixed
+    ``num_batches`` loop. ``include_last=True`` additionally yields the tail
+    partial batch (smaller first axis) — required by consumers that must cover
+    EVERY example, e.g. test-split inference, where the serving engine pads any
+    ``n <= batch_size`` to its compiled batch anyway."""
 
     def __init__(self, dataset, batch_size: int, transform=None, device_put=True,
-                 sharding=None):
+                 sharding=None, include_last: bool = False):
         self._dataset = dataset
         self._batch_size = batch_size
         self._transform = transform
         self._device_put = device_put
         self._sharding = sharding
+        self._include_last = include_last
 
     def __len__(self):
-        return len(self._dataset) // self._batch_size
+        n_full = len(self._dataset) // self._batch_size
+        if self._include_last and len(self._dataset) % self._batch_size:
+            return n_full + 1
+        return n_full
 
     def __iter__(self):
         n = len(self._dataset)
-        for start in range(0, n - self._batch_size + 1, self._batch_size):
-            indices = np.arange(start, start + self._batch_size)
+        stop = n if self._include_last else n - self._batch_size + 1
+        for start in range(0, stop, self._batch_size):
+            indices = np.arange(start, min(start + self._batch_size, n))
             batch = self._dataset.get_batch(indices)
             if self._transform is not None:
                 batch = self._transform(batch)

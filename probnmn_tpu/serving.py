@@ -91,7 +91,8 @@ class InferenceEngine:
             feat_dtype = (
                 "bfloat16" if tpu_fused_kernels_supported() else "float32"
             )
-        self._feature_dtype = jnp.dtype(feat_dtype)
+        compute_dtype = jnp.dtype(feat_dtype)
+        self._feature_dtype = compute_dtype
 
         # Multi-chip serving: shard each padded batch over a data mesh (same
         # policy as the trainers' --num-devices; the fused kernels route
@@ -109,7 +110,12 @@ class InferenceEngine:
         if nmn_lib.fast_training_available(nmn_spec):
             from probnmn_tpu.ops.pallas.nmn_interpreter import build_kernel_tables
 
-            banks, tables = build_kernel_tables(nmn_params, nmn_spec)
+            # Build the banks in the engine's resolved compute dtype — the
+            # fused path derives its math dtype from the banks, so defaulting
+            # here would silently ignore a caller-requested float32.
+            banks, tables = build_kernel_tables(
+                nmn_params, nmn_spec, dtype=compute_dtype
+            )
             stem_p = nmn_params["stem"]
             cls_p = nmn_params["classifier"]
 
@@ -159,17 +165,23 @@ class InferenceEngine:
     @classmethod
     def from_checkpoint(
         cls, config, checkpoint_path: str, batch_size: Optional[int] = None,
-        compute_dtype: str = "bfloat16", num_devices: Optional[int] = None,
+        compute_dtype: str = "auto", num_devices: Optional[int] = None,
         compilation_cache_dir: Optional[str] = None,
     ) -> "InferenceEngine":
         r"""Load PG + NMN from a joint/module checkpoint (native ``.ckpt`` or
-        reference ``.pth``) exactly like ``scripts/inference.py``."""
+        reference ``.pth``) exactly like ``scripts/inference.py``.
+
+        ``compute_dtype="auto"`` defers to ``make_spec``'s backend-aware
+        resolution: bf16 only where the fused Pallas kernels run (TPU v4+),
+        f32 elsewhere — matching the reference's torch numerics on
+        CPU / register-machine backends."""
         from probnmn_tpu.utils.checkpointing import load_objects_flexible
 
         vocabulary = Vocabulary.from_files(config.DATA.VOCABULARY)
         pg_spec = program_generator.make_spec(vocabulary, config)
         nmn_spec = nmn_lib.make_spec(vocabulary, config)
-        nmn_spec.compute_dtype = compute_dtype
+        if compute_dtype != "auto":
+            nmn_spec.compute_dtype = compute_dtype
         templates = {
             "program_generator": program_generator.init_params(
                 jax.random.PRNGKey(0), pg_spec
@@ -205,11 +217,18 @@ class InferenceEngine:
         if n == 0:
             return []
         if n > self._batch_size:
+            starts = list(range(0, n, self._batch_size))
+            # Decorrelate chunks: a single user-supplied key must not feed
+            # identical sampling noise to every chunk.
+            chunk_rngs = (
+                jax.random.split(rng, len(starts)) if rng is not None
+                else [None] * len(starts)
+            )
             out: List[str] = []
-            for start in range(0, n, self._batch_size):
+            for start, chunk_rng in zip(starts, chunk_rngs):
                 out.extend(self.predict(
                     questions[start:start + self._batch_size],
-                    images[start:start + self._batch_size], rng,
+                    images[start:start + self._batch_size], chunk_rng,
                 ))
             return out
 
@@ -259,9 +278,12 @@ class InferenceEngine:
                         pending.append(self._queue.get(timeout=remaining))
                     except Empty:
                         break
-                questions = np.stack([p[0] for p in pending])
-                images = np.stack([p[1] for p in pending])
+                # np.stack stays inside the try: one mis-shaped request must
+                # fail its batch's futures, not kill the dispatcher thread
+                # (which would hang every later submit() forever).
                 try:
+                    questions = np.stack([p[0] for p in pending])
+                    images = np.stack([p[1] for p in pending])
                     answers = self.predict(questions, images)
                 except BaseException as e:
                     for _, _, fut in pending:

@@ -57,7 +57,12 @@ def main(args):
     np.random.seed(config.RANDOM_SEED)
 
     dataset = JointTrainingDataset(config.DATA.TEST_TOKENS, config.DATA.TEST_FEATURES)
-    batches = EpochIterator(dataset, config.OPTIM.BATCH_SIZE, device_put=False)
+    # include_last: the predictions JSON must cover EVERY test example (an
+    # incomplete CLEVR submission is unusable); the engine pads the tail
+    # partial batch to its compiled batch size internally.
+    batches = EpochIterator(
+        dataset, config.OPTIM.BATCH_SIZE, device_put=False, include_last=True
+    )
 
     # The production serving engine: fused Pallas kernels on supported TPUs,
     # XLA paths elsewhere; sampling at inference is the reference's (quirky)

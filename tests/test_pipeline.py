@@ -115,3 +115,31 @@ def test_module_trainer_streaming_features_matches_in_memory(data_root):
             ls.append(float(logs["loss"]))
         losses[in_mem] = ls
     np.testing.assert_array_equal(losses[True], losses[False])
+
+
+def test_epoch_iterator_include_last_covers_every_example(data_root):
+    """include_last=True yields the tail partial batch so consumers that must
+    cover EVERY example (test-split inference) don't silently drop up to
+    batch_size-1 rows (ADVICE r3); the default still drops it for static
+    shapes."""
+    from probnmn_tpu.data.datasets import ModuleTrainingDataset
+    from probnmn_tpu.data.pipeline import EpochIterator
+
+    dataset = ModuleTrainingDataset(
+        os.path.join(data_root, "train_tokens.h5"),
+        os.path.join(data_root, "train_features.h5"),
+    )
+    n = len(dataset)
+    batch = 16
+    assert n % batch != 0  # fixture has a genuine tail (40 % 16 == 8)
+
+    default = EpochIterator(dataset, batch, device_put=False)
+    covered = sum(b["question"].shape[0] for b in default)
+    assert covered == (n // batch) * batch
+    assert len(default) == n // batch
+
+    full = EpochIterator(dataset, batch, device_put=False, include_last=True)
+    sizes = [b["question"].shape[0] for b in full]
+    assert sum(sizes) == n
+    assert sizes[-1] == n % batch
+    assert len(full) == len(sizes)

@@ -43,7 +43,7 @@ def engine_setup(tmp_path_factory):
     images = rs.randn(8, 12, 6, 6).astype(np.float32)  # NCHW like the H5 layout
     return dict(engine=engine, config=config, vocab=vocab, pg_spec=pg_spec,
                 nmn_spec=nmn_spec, pg_params=pg_params, nmn_params=nmn_params,
-                questions=questions, images=images)
+                questions=questions, images=images, ckpt=ckpt)
 
 
 def test_predict_matches_direct_pipeline(engine_setup):
@@ -97,6 +97,62 @@ def test_mesh_serving_matches_single_device(engine_setup):
     got = mesh_engine.predict(s["questions"], s["images"], rng=rng)
     want = s["engine"].predict(s["questions"], s["images"], rng=rng)
     assert got == want
+
+
+def test_from_checkpoint_auto_dtype_resolves_f32_off_fused_backends(engine_setup):
+    """Default compute_dtype='auto' defers to make_spec's backend-aware
+    resolution: on CPU (no fused Pallas kernels) the serving path must run the
+    reference's f32 numerics, not unconditionally bf16 (ADVICE r3)."""
+    s = engine_setup
+    engine = InferenceEngine.from_checkpoint(s["config"], s["ckpt"], batch_size=8)
+    assert engine._feature_dtype == jnp.float32
+
+
+def test_predict_chunks_decorrelate_user_rng(engine_setup):
+    """A user-supplied rng with n > batch_size is split once per chunk, so two
+    chunks of identical inputs draw DIFFERENT sampling noise — and the whole
+    call stays deterministic given the key (ADVICE r3)."""
+    s = engine_setup
+    rng = jax.random.PRNGKey(5)
+    doubled_q = np.concatenate([s["questions"]] * 2)
+    doubled_i = np.concatenate([s["images"]] * 2)
+    a = s["engine"].predict(doubled_q, doubled_i, rng=rng)
+    b = s["engine"].predict(doubled_q, doubled_i, rng=rng)
+    assert a == b  # deterministic given the key
+    # Neither chunk reuses the raw key: chunk outputs differ from the
+    # single-batch call made with the unsplit key (overwhelmingly likely for
+    # a random-init sampler; both chunks coinciding with it would mean the
+    # key was reused verbatim).
+    single = s["engine"].predict(s["questions"], s["images"], rng=rng)
+    assert not (a[:8] == single and a[8:] == single)
+
+
+def test_dispatcher_survives_malformed_request(engine_setup):
+    """One mis-shaped submit() must fail its batch's futures — not kill the
+    dispatcher thread and hang every later request (ADVICE r3)."""
+    s = engine_setup
+    engine = s["engine"]
+    engine.start(max_batch_delay=0.05)
+    try:
+        bad = engine.submit(s["questions"][0][:5], s["images"][0])  # wrong Tq
+        neighbor = engine.submit(s["questions"][1], s["images"][1])
+        with pytest.raises(BaseException):
+            bad.result(timeout=30)
+        # The neighbor either rode the failed batch (exception) or a later
+        # clean one (answer) depending on coalescing timing — it must resolve
+        # either way, never hang.
+        try:
+            neighbor.result(timeout=30)
+        except Exception:
+            pass
+        # The dispatcher is still alive and serves later requests.
+        ok = engine.submit(s["questions"][2], s["images"][2])
+        answer = ok.result(timeout=30)
+    finally:
+        engine.stop()
+    valid = {s["vocab"].get_token_from_index(i, "answers")
+             for i in range(s["vocab"].get_vocab_size("answers"))}
+    assert answer in valid
 
 
 def test_micro_batching_dispatcher(engine_setup):
