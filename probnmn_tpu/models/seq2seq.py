@@ -215,6 +215,116 @@ def seq2seq_forward(
     return output
 
 
+def beam_search_forward(
+    params: Dict[str, Any],
+    spec: Seq2SeqSpec,
+    source_tokens: jax.Array,
+    beam_size: int,
+) -> Dict[str, jax.Array]:
+    r"""Width-``beam_size`` beam-search decode; returns the same contract as a
+    free-running :func:`seq2seq_forward` (``predictions`` trimmed at @end@,
+    ``loss`` = length-normalized negative sequence logprob of the returned
+    tokens) plus all hypotheses as ``beam_predictions (B, K, T)`` /
+    ``beam_scores (B, K)`` (cumulative UN-normalized logprobs, best first).
+
+    This is a beyond-reference extension: the reference explicitly decodes
+    without beam search (reference ``seq2seq_base.py:23``). Semantics chosen to
+    nest the existing strategies: scores are raw cumulative log-probabilities
+    of the full (unblocked) softmax — exactly the distribution greedy argmaxes
+    over — so ``beam_size=1`` reproduces greedy decode token-for-token.
+    Finished hypotheses (emitted @end@) are frozen: they extend only with
+    @@PADDING@@ at unchanged score.
+
+    Pure XLA (scan over steps; top-k over the ``K*V`` expansion per step) — at
+    CLEVR shapes (V<=100, K<=16, T<=45) the per-step work is tiny and fuses
+    well; no Pallas kernel is warranted (measured in PERF.md round 4).
+    """
+    if beam_size < 1:
+        raise ValueError(f"beam_size must be >= 1, got {beam_size}")
+    batch = source_tokens.shape[0]
+    K = beam_size
+    vocab = spec.target_vocab_size
+    num_steps = spec.max_decoding_steps
+
+    encoder_outputs, source_mask, h0, c0 = _encode(params, spec, source_tokens)
+
+    def tile(x):  # (B, ...) -> (B*K, ...) hypothesis-major within example
+        return jnp.repeat(x, K, axis=0)
+
+    enc_k = tile(encoder_outputs)
+    mask_k = tile(source_mask)
+
+    neg_inf = jnp.asarray(-1e30, jnp.float32)
+    init = (
+        tile(h0),                                            # (B*K, H)
+        tile(c0),                                            # (B*K, H)
+        jnp.full((batch, K), spec.start_index, source_tokens.dtype),
+        # Only hypothesis 0 is live at t=0 so the first expansion picks the
+        # top-K DISTINCT first tokens instead of K copies of the argmax.
+        jnp.tile(jnp.where(jnp.arange(K) == 0, 0.0, neg_inf)[None, :], (batch, 1)),
+        jnp.zeros((batch, K), bool),                         # finished
+        jnp.zeros((batch, K, num_steps), source_tokens.dtype),   # token history
+        jnp.zeros((batch, K, num_steps), jnp.float32),       # step-logprob history
+    )
+
+    def step(carry, t):
+        h, c, last_token, scores, finished, seqs, logps = carry
+        logits, h_new, c_new = _decode_step(
+            params, spec, last_token.reshape(batch * K), h, c, enc_k, mask_k
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1).reshape(batch, K, vocab)
+
+        # Frozen finished hypotheses: only @@PADDING@@ continues, at zero cost.
+        pad_only = jnp.where(
+            jnp.arange(vocab)[None, None, :] == spec.pad_index, 0.0, neg_inf
+        )
+        cand = scores[:, :, None] + jnp.where(
+            finished[:, :, None], pad_only, log_probs
+        )
+
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(batch, K * vocab), K)
+        parent = top_idx // vocab                               # (B, K)
+        token = (top_idx % vocab).astype(last_token.dtype)      # (B, K)
+
+        def gather_parents(x):  # (B, K, ...) -> reordered by parent
+            return jnp.take_along_axis(
+                x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1
+            )
+
+        flat_parent = (jnp.arange(batch)[:, None] * K + parent).reshape(-1)
+        h = h_new[flat_parent]
+        c = c_new[flat_parent]
+        finished = gather_parents(finished)
+        seqs = gather_parents(seqs)
+        logps = gather_parents(logps)
+        step_logp = jnp.take_along_axis(log_probs, parent[:, :, None], axis=1)
+        step_logp = jnp.take_along_axis(step_logp, token[:, :, None], axis=2)[..., 0]
+        onehot_t = jax.nn.one_hot(t, num_steps, dtype=seqs.dtype)
+        seqs = seqs + token[:, :, None] * onehot_t[None, None, :]
+        logps = logps + jnp.where(
+            finished, 0.0, step_logp
+        )[:, :, None] * onehot_t[None, None, :].astype(jnp.float32)
+        finished = finished | (token == spec.end_index)
+        return (h, c, token, top_scores, finished, seqs, logps), None
+
+    (_, _, _, scores, _, seqs, logps), _ = jax.lax.scan(
+        step, init, jnp.arange(num_steps)
+    )
+
+    # lax.top_k at every step keeps rows sorted descending, so hypothesis 0 is
+    # the best; trim each and compute the free-running loss on the best one.
+    flat = seqs.reshape(batch * K, num_steps)
+    trimmed = trim_at_end(flat, spec.end_index).reshape(batch, K, num_steps)
+    predictions = trimmed[:, 0]
+    loss = length_normalized_logprob_loss(logps[:, 0], predictions, spec.pad_index)
+    return {
+        "predictions": predictions,
+        "loss": loss,
+        "beam_predictions": trimmed,
+        "beam_scores": scores,
+    }
+
+
 def fast_sampling_available(spec: Seq2SeqSpec) -> bool:
     r"""The fused Pallas sampling kernel (``ops/pallas/seq2seq_decode.py``)
     needs a large-VMEM TPU generation (v4+ — the kernel keeps multi-MB weight

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from queue import Empty, Queue
 from typing import Any, Dict, List, Optional, Sequence
@@ -63,7 +64,14 @@ class InferenceEngine:
         rng_seed: int = 0,
         num_devices: Optional[int] = None,
         compilation_cache_dir: Optional[str] = None,
+        decoding: str = "sampling",
+        beam_size: int = 1,
     ):
+        r"""``decoding`` selects the program-decode strategy: ``"sampling"``
+        (the reference inference default, ``inference.py:80``), ``"greedy"``
+        (the reference evaluators' choice), or ``"beam"`` (beyond-reference;
+        width ``beam_size``, XLA beam search over the same distribution —
+        ``beam_size=1`` == greedy)."""
         if compilation_cache_dir is not None:
             # Persist the compiled pipeline across restarts (the first-batch
             # compile is tens of seconds): "auto" resolves to
@@ -130,7 +138,20 @@ class InferenceEngine:
             def nmn_forward(features, programs):
                 return nmn_lib.nmn_forward(nmn_params, nmn_spec, features, programs)
 
-        def pipeline_fn(pg_params, questions, images, rng):
+        if decoding not in ("sampling", "greedy", "beam"):
+            raise ValueError(f"unknown decoding strategy: {decoding!r}")
+        self._decoding = decoding
+        self._beam_size = beam_size
+
+        def decode_programs(pg_params, questions, rng):
+            if decoding == "beam":
+                from probnmn_tpu.models.seq2seq import beam_search_forward
+
+                return beam_search_forward(pg_params, pg_spec, questions, beam_size)
+            if decoding == "greedy":
+                from probnmn_tpu.models.seq2seq import GREEDY, seq2seq_forward
+
+                return seq2seq_forward(pg_params, pg_spec, questions, None, GREEDY)
             if mesh is not None:
                 from probnmn_tpu.ops.pallas.seq2seq_decode import (
                     fused_sampling_forward_dp,
@@ -141,13 +162,11 @@ class InferenceEngine:
                     z = fused_sampling_forward_dp(
                         mesh, pg_params, pg_spec, questions, rng
                     )
-                    pg_out = {"predictions": z}
-                else:
-                    pg_out = sampling_forward_serving(
-                        pg_params, pg_spec, questions, rng
-                    )
-            else:
-                pg_out = sampling_forward_serving(pg_params, pg_spec, questions, rng)
+                    return {"predictions": z}
+            return sampling_forward_serving(pg_params, pg_spec, questions, rng)
+
+        def pipeline_fn(pg_params, questions, images, rng):
+            pg_out = decode_programs(pg_params, questions, rng)
             nmn_out = nmn_forward(image_to_nhwc(images), pg_out["predictions"])
             return nmn_out["predictions"], nmn_out["invalid"]
 
@@ -159,6 +178,8 @@ class InferenceEngine:
         self._running = threading.Event()
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        # Sliding window of dispatcher request latencies (submit -> result).
+        self._latencies: deque = deque(maxlen=16384)
         self._started_at = time.monotonic()
 
     # ------------------------------------------------------------------ build
@@ -167,6 +188,7 @@ class InferenceEngine:
         cls, config, checkpoint_path: str, batch_size: Optional[int] = None,
         compute_dtype: str = "auto", num_devices: Optional[int] = None,
         compilation_cache_dir: Optional[str] = None,
+        decoding: str = "sampling", beam_size: int = 1,
     ) -> "InferenceEngine":
         r"""Load PG + NMN from a joint/module checkpoint (native ``.ckpt`` or
         reference ``.pth``) exactly like ``scripts/inference.py``.
@@ -200,6 +222,8 @@ class InferenceEngine:
             rng_seed=config.RANDOM_SEED,
             num_devices=num_devices,
             compilation_cache_dir=compilation_cache_dir,
+            decoding=decoding,
+            beam_size=beam_size,
         )
 
     # ------------------------------------------------------------------ sync
@@ -286,11 +310,15 @@ class InferenceEngine:
                     images = np.stack([p[1] for p in pending])
                     answers = self.predict(questions, images)
                 except BaseException as e:
-                    for _, _, fut in pending:
-                        fut.set_exception(e)
+                    for p in pending:
+                        p[2].set_exception(e)
                     continue
-                for (_, _, fut), answer in zip(pending, answers):
-                    fut.set_result(answer)
+                done = time.monotonic()
+                latencies = [done - p[3] for p in pending]
+                for p, answer in zip(pending, answers):
+                    p[2].set_result(answer)
+                with self._lock:
+                    self._latencies.extend(latencies)
 
         self._dispatcher = threading.Thread(
             target=dispatch, daemon=True, name="probnmn-serving-dispatcher"
@@ -310,13 +338,27 @@ class InferenceEngine:
         if self._dispatcher is None:
             raise RuntimeError("call start() before submit()")
         fut: Future = Future()
-        self._queue.put((np.asarray(question), np.asarray(image), fut))
+        self._queue.put(
+            (np.asarray(question), np.asarray(image), fut, time.monotonic())
+        )
         return fut
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> Dict[str, Any]:
+        r"""Throughput counters plus request-latency percentiles (seconds,
+        submit()-to-result over the dispatcher's sliding window of recent
+        requests) and the instantaneous queue depth — the two axes of a
+        serving layer: QPS alone says nothing about the wait a request sees
+        under the micro-batching coalescing delay."""
         with self._lock:
             s = dict(self._stats)
+            lat = np.asarray(self._latencies, np.float64)
         elapsed = max(time.monotonic() - self._started_at, 1e-9)
         s["qps"] = s["requests"] / elapsed
+        s["queue_depth"] = self._queue.qsize()
+        if lat.size:
+            s["latency_p50"], s["latency_p95"], s["latency_p99"] = (
+                float(np.percentile(lat, q)) for q in (50, 95, 99)
+            )
+            s["latency_count"] = int(lat.size)
         return s

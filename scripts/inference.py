@@ -39,6 +39,17 @@ parser.add_argument(
     "--num-devices", type=int, default=1,
     help="Serve each batch sharded over this many devices (0 = all visible).",
 )
+parser.add_argument(
+    "--decoding-strategy", default="sampling",
+    choices=["sampling", "greedy", "beam"],
+    help="Program decode at inference: 'sampling' is the reference default "
+    "(reference inference.py:80); 'greedy'/'beam' are deterministic "
+    "alternatives (beam is a beyond-reference extension).",
+)
+parser.add_argument(
+    "--beam-size", type=int, default=4,
+    help="Beam width when --decoding-strategy beam (1 == greedy).",
+)
 
 
 def main(args):
@@ -68,7 +79,8 @@ def main(args):
     # XLA paths elsewhere; sampling at inference is the reference's (quirky)
     # default decoding strategy (seq2seq_base.py:105, inference.py:80).
     engine = InferenceEngine.from_checkpoint(
-        config, args.checkpoint_path, num_devices=args.num_devices
+        config, args.checkpoint_path, num_devices=args.num_devices,
+        decoding=args.decoding_strategy, beam_size=args.beam_size,
     )
 
     predictions = []

@@ -317,3 +317,100 @@ def test_program_prior_sample_quirk_matches_torch_fixture():
     assert np.abs(
         np.asarray(out["loss"]) - std_loss.detach().numpy()
     )[nondegenerate].max() > 1e-3
+
+
+# ------------------------------------------------------------------ beam search
+
+
+def test_beam_size_one_equals_greedy():
+    """beam_size=1 must reproduce greedy decode token-for-token and match its
+    length-normalized loss (the nesting contract in beam_search_forward)."""
+    from probnmn_tpu.models.seq2seq import beam_search_forward
+
+    spec = _spec()
+    params = init_seq2seq_params(jax.random.PRNGKey(11), spec)
+    src = jnp.array(
+        [[5, 6, 7, 0, 0], [8, 9, 10, 11, 0], [4, 4, 4, 0, 0]], jnp.int32
+    )
+    greedy = seq2seq_forward(params, spec, src, decoding_strategy="greedy")
+    beam = beam_search_forward(params, spec, src, beam_size=1)
+    np.testing.assert_array_equal(
+        np.asarray(beam["predictions"]), np.asarray(greedy["predictions"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(beam["loss"]), np.asarray(greedy["loss"]), rtol=1e-5
+    )
+
+
+def test_beam_search_shapes_trimming_and_score_order():
+    from probnmn_tpu.models.seq2seq import beam_search_forward
+
+    spec = _spec()
+    params = init_seq2seq_params(jax.random.PRNGKey(12), spec)
+    src = jnp.array([[5, 6, 7, 8, 0], [9, 10, 0, 0, 0]], jnp.int32)
+    K = 5
+    out = beam_search_forward(params, spec, src, beam_size=K)
+    B, T = 2, spec.max_decoding_steps
+    assert out["predictions"].shape == (B, T)
+    assert out["beam_predictions"].shape == (B, K, T)
+    assert out["beam_scores"].shape == (B, K)
+    scores = np.asarray(out["beam_scores"])
+    assert (np.diff(scores, axis=-1) <= 1e-6).all(), "hypotheses must be sorted"
+    # every hypothesis is trimmed: nothing but PAD after the first @end@
+    for row in np.asarray(out["beam_predictions"]).reshape(B * K, T):
+        if (row == END).any():
+            end_pos = int(np.argmax(row == END))
+            assert (row[end_pos + 1:] == PAD).all()
+
+
+def test_beam_search_never_worse_than_greedy_and_monotone_in_width():
+    """The beam-best cumulative score must dominate the greedy path's score
+    (greedy is in the width-K search space), and widening the beam can only
+    improve the best score."""
+    from probnmn_tpu.models.seq2seq import beam_search_forward
+
+    spec = _spec()
+    params = init_seq2seq_params(jax.random.PRNGKey(13), spec)
+    src = jnp.array(
+        [[5, 6, 7, 0, 0], [8, 9, 10, 11, 12], [6, 6, 6, 6, 0], [12, 4, 9, 0, 0]],
+        jnp.int32,
+    )
+    greedy = seq2seq_forward(params, spec, src, decoding_strategy="greedy")
+    greedy_preds = np.asarray(greedy["predictions"])
+    greedy_len = (greedy_preds != PAD).sum(-1)
+    greedy_total = -np.asarray(greedy["loss"]) * greedy_len  # un-normalized
+
+    b2 = beam_search_forward(params, spec, src, beam_size=2)
+    b6 = beam_search_forward(params, spec, src, beam_size=6)
+    best2 = np.asarray(b2["beam_scores"])[:, 0]
+    best6 = np.asarray(b6["beam_scores"])[:, 0]
+    assert (best2 >= greedy_total - 1e-4).all()
+    assert (best6 >= best2 - 1e-4).all()
+
+
+def test_beam_search_scores_match_replayed_logprobs():
+    """A hypothesis's reported cumulative score must equal the sum of the
+    model's step logprobs along that hypothesis (replayed by teacher-forcing
+    its tokens) — i.e. the scores are real sequence logprobs, not artifacts."""
+    from probnmn_tpu.models.seq2seq import beam_search_forward
+
+    spec = _spec()
+    params = init_seq2seq_params(jax.random.PRNGKey(14), spec)
+    src = jnp.array([[5, 6, 7, 8, 9]], jnp.int32)
+    out = beam_search_forward(params, spec, src, beam_size=3)
+    preds = np.asarray(out["beam_predictions"])[0]
+    scores = np.asarray(out["beam_scores"])[0]
+    for k in range(3):
+        row = preds[k]
+        length = int((row != PAD).sum())
+        if length == 0 or not (row == END).any():
+            continue  # all-zero trim quirk rows can't be replayed verbatim
+        # teacher-force the hypothesis WITHOUT the trailing @end@ (add_boundary
+        # re-appends it) and read the chained logprobs from the logits
+        tf = seq2seq_forward(
+            params, spec, src, jnp.asarray(row[None, : length - 1], jnp.int32)
+        )
+        lp = np.asarray(jax.nn.log_softmax(np.asarray(tf["logits"])[0], axis=-1))
+        targets = np.append(row[: length - 1], END)
+        replayed = lp[np.arange(length), targets].sum()
+        np.testing.assert_allclose(scores[k], replayed, rtol=1e-4, atol=1e-4)
