@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+from collections import deque
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
@@ -62,6 +64,23 @@ class BatchIterator:
         # supervised/unsupervised window (training/_subbatch.py). Sorting on
         # the gather thread is free relative to the h5py reads.
         self._sort_key = sort_descending_by
+        # Per-stage pipeline timers (rolling): how long the consumer waited on
+        # the prefetch queue (producer behind = host gather is the bottleneck)
+        # and how long device_put dispatch took. Drained into TensorBoard by
+        # the trainers (utils/observability.py StepTimer covers the total).
+        self._wait_times: deque = deque(maxlen=50)
+        self._put_times: deque = deque(maxlen=50)
+
+    def stage_metrics(self) -> Dict[str, float]:
+        r"""Rolling per-stage averages in ms: ``prefetch_wait_ms`` (consumer
+        blocked on the host-gather queue) and ``h2d_dispatch_ms``
+        (``jax.device_put`` call time; the copy itself is asynchronous)."""
+        out = {}
+        if self._wait_times:
+            out["prefetch_wait_ms"] = 1e3 * sum(self._wait_times) / len(self._wait_times)
+        if self._put_times:
+            out["h2d_dispatch_ms"] = 1e3 * sum(self._put_times) / len(self._put_times)
+        return out
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         while True:
@@ -86,14 +105,17 @@ class BatchIterator:
     def _put(self, batch):
         if not self._device_put:
             return batch
+        t0 = time.perf_counter()
         # Keys starting with "_" are host-side metadata (plain Python scalars),
         # not batch arrays — they stay on the host.
         meta = {k: v for k, v in batch.items() if k.startswith("_")}
         if not meta:
-            return jax.device_put(batch, self._sharding)
-        arrays = {k: v for k, v in batch.items() if not k.startswith("_")}
-        out = jax.device_put(arrays, self._sharding)
-        out.update(meta)
+            out = jax.device_put(batch, self._sharding)
+        else:
+            arrays = {k: v for k, v in batch.items() if not k.startswith("_")}
+            out = jax.device_put(arrays, self._sharding)
+            out.update(meta)
+        self._put_times.append(time.perf_counter() - t0)
         return out
 
     def __iter__(self):
@@ -136,7 +158,9 @@ class BatchIterator:
         try:
             device_ahead = []
             while True:
+                t0 = time.perf_counter()
                 item = q.get()
+                self._wait_times.append(time.perf_counter() - t0)
                 if item is done:
                     break
                 if isinstance(item, BaseException):

@@ -59,6 +59,7 @@ class _Trainer:
         mesh=None,
     ):
         self._C = config
+        self._batch_source = batches  # kept for per-stage pipeline timers
         self._batches = iter(batches)
         self._params = dict(models)
         # Data-parallel mesh (reference trains DP over --gpu-ids inside _Trainer,
@@ -123,7 +124,14 @@ class _Trainer:
         self._iteration = iteration if iteration is not None else self._iteration + 1
         self._step_timer.tick()
         if self._iteration % 50 == 0 and self._iteration > 0:
-            for name, value in self._step_timer.metrics().items():
+            metrics = dict(self._step_timer.metrics())
+            # Per-stage pipeline timers (prefetch wait / H2D dispatch) when the
+            # batch source exposes them — long-horizon runs double as a soak
+            # test of the input pipeline.
+            stage = getattr(self._batch_source, "stage_metrics", None)
+            if stage is not None:
+                metrics.update(stage())
+            for name, value in metrics.items():
                 self._tensorboard_writer.add_scalar(
                     f"train/{name}", value, self._iteration
                 )
