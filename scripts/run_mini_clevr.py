@@ -56,6 +56,11 @@ parser.add_argument("--phases", nargs="*", default=[],
                     "phases' checkpoints must already exist in --runs.")
 parser.add_argument("--assert-thresholds", action="store_true",
                     help="Exit nonzero unless every phase clears its bar.")
+parser.add_argument("--tiny", action="store_true",
+                    help="Shrink model geometry (32-d LSTMs, 16-channel "
+                    "modules) so the whole chain smokes on one CPU core; the "
+                    "real convergence run uses the default production "
+                    "geometry on the chip.")
 
 # Phase hyperparameters tuned for the mini task's scale (a few thousand
 # examples, a deterministic grammar): higher LRs / fewer iterations than the
@@ -144,6 +149,13 @@ def phase_config(args, phase: str, num_iterations: int) -> Config:
     ]
     for key, value in PHASE_HPARAMS[phase].items():
         overrides += [key, value]
+    if args.tiny:
+        for model in ("PROGRAM_PRIOR", "PROGRAM_GENERATOR", "QUESTION_RECONSTRUCTOR"):
+            overrides += [f"{model}.INPUT_SIZE", 32, f"{model}.HIDDEN_SIZE", 32,
+                          f"{model}.NUM_LAYERS", 1]
+        overrides += ["NMN.MODULE_CHANNELS", 16,
+                      "NMN.CLASS_PROJECTION_CHANNELS", 32,
+                      "NMN.CLASSIFIER_LINEAR_SIZE", 64]
     return Config(None, overrides)
 
 
