@@ -292,31 +292,44 @@ class InferenceEngine:
                     first = self._queue.get(timeout=0.05)
                 except Empty:
                     continue
+                # Queue items are GROUPS: (questions (n,Tq), images (n,...),
+                # [n futures], t_submit) — submit() enqueues groups of 1,
+                # submit_many() of n, so the per-request Python cost (queue
+                # round-trip, deadline check) amortizes over the group.
                 pending = [first]
+                total = first[0].shape[0]
                 deadline = time.monotonic() + max_batch_delay
-                while len(pending) < self._batch_size:
+                while total < self._batch_size:
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         break
                     try:
-                        pending.append(self._queue.get(timeout=remaining))
+                        group = self._queue.get(timeout=remaining)
                     except Empty:
                         break
-                # np.stack stays inside the try: one mis-shaped request must
-                # fail its batch's futures, not kill the dispatcher thread
-                # (which would hang every later submit() forever).
+                    pending.append(group)
+                    total += group[0].shape[0]
+                # np.concatenate stays inside the try: one mis-shaped request
+                # must fail its batch's futures, not kill the dispatcher
+                # thread (which would hang every later submit() forever).
                 try:
-                    questions = np.stack([p[0] for p in pending])
-                    images = np.stack([p[1] for p in pending])
+                    questions = np.concatenate([p[0] for p in pending])
+                    images = np.concatenate([p[1] for p in pending])
                     answers = self.predict(questions, images)
                 except BaseException as e:
                     for p in pending:
-                        p[2].set_exception(e)
+                        for fut in p[2]:
+                            fut.set_exception(e)
                     continue
                 done = time.monotonic()
-                latencies = [done - p[3] for p in pending]
-                for p, answer in zip(pending, answers):
-                    p[2].set_result(answer)
+                latencies = []
+                cursor = 0
+                for p in pending:
+                    n = p[0].shape[0]
+                    latencies.extend([done - p[3]] * n)
+                    for fut, answer in zip(p[2], answers[cursor:cursor + n]):
+                        fut.set_result(answer)
+                    cursor += n
                 with self._lock:
                     self._latencies.extend(latencies)
 
@@ -335,13 +348,26 @@ class InferenceEngine:
     def submit(self, question: np.ndarray, image: np.ndarray) -> Future:
         r"""Enqueue one request for the micro-batching dispatcher; returns a
         Future resolving to the answer string. ``start()`` must be running."""
+        return self.submit_many(
+            np.asarray(question)[None], np.asarray(image)[None]
+        )[0]
+
+    def submit_many(
+        self, questions: np.ndarray, images: np.ndarray
+    ) -> List[Future]:
+        r"""Enqueue ``n`` requests as ONE dispatcher group (single queue
+        round-trip, single concat) — the high-throughput form of ``submit``
+        for callers that already hold several requests (front-end batchers,
+        load generators). Returns one Future per request; groups coalesce
+        with other pending requests up to the compiled batch size exactly
+        like individual submits."""
         if self._dispatcher is None:
             raise RuntimeError("call start() before submit()")
-        fut: Future = Future()
-        self._queue.put(
-            (np.asarray(question), np.asarray(image), fut, time.monotonic())
-        )
-        return fut
+        questions = np.asarray(questions)
+        images = np.asarray(images)
+        futures: List[Future] = [Future() for _ in range(questions.shape[0])]
+        self._queue.put((questions, images, futures, time.monotonic()))
+        return futures
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> Dict[str, Any]:

@@ -76,9 +76,11 @@ def measure_capacity(engine, args, question, image) -> float:
 
     def feeder(i):
         window = []
+        q_block = np.repeat(question[None], 32, axis=0)
+        im_block = np.repeat(image[None], 32, axis=0)
         while time.monotonic() < stop_at:
             while len(window) < 2 * args.batch_size // args.feeders:
-                window.append(engine.submit(question, image))
+                window.extend(engine.submit_many(q_block, im_block))
             window[0].result()
             window = [f for f in window if not f.done()]
             done[i] += 1  # count resolved head-of-line requests only
@@ -132,11 +134,15 @@ def drive_load_measured(engine, args, question, image, rate: float):
                     latencies.append(time.monotonic() - s)
             return cb
 
-        for _ in range(burst):
-            fut = engine.submit(question, image)
-            fut.add_done_callback(make_cb(sched))
-            pending.append(fut)
-            submitted += 1
+        futs = engine.submit_many(
+            np.repeat(question[None], burst, axis=0),
+            np.repeat(image[None], burst, axis=0),
+        )
+        cb = make_cb(sched)
+        for fut in futs:
+            fut.add_done_callback(cb)
+        pending.extend(futs)
+        submitted += burst
         next_burst += interval
     for fut in pending:
         fut.result()

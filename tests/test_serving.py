@@ -265,3 +265,26 @@ def test_dispatcher_sustained_load_steady_state(engine_setup):
     # At half capacity a request waits ~one service time + coalescing delay;
     # 30x headroom on the bound keeps this robust on a loaded CI core.
     assert stats["latency_p99"] < 30.0 * (8 / capacity + 0.01 + 1.0)
+
+
+def test_submit_many_matches_individual_submits(engine_setup):
+    """submit_many enqueues n requests as one dispatcher group (single queue
+    round-trip + concat) and must resolve to exactly what predict() gives for
+    the same rows; it coalesces with individual submits in the same batch.
+    Uses a greedy engine: the sampling engine's internal rng advances per
+    predict() call, so dispatcher-vs-direct comparisons are only well-defined
+    under a deterministic decode."""
+    s = engine_setup
+    engine = InferenceEngine.from_checkpoint(
+        s["config"], s["ckpt"], batch_size=8, compute_dtype="float32",
+        decoding="greedy",
+    )
+    engine.start(max_batch_delay=0.05)
+    try:
+        group = engine.submit_many(s["questions"][:4], s["images"][:4])
+        single = engine.submit(s["questions"][4], s["images"][4])
+        got = [f.result(timeout=60) for f in group] + [single.result(timeout=60)]
+    finally:
+        engine.stop()
+    want = engine.predict(s["questions"][:5], s["images"][:5])
+    assert got == want
