@@ -64,6 +64,12 @@ parser.add_argument("--tiny", action="store_true",
                     "modules) so the whole chain smokes on one CPU core; the "
                     "real convergence run uses the default production "
                     "geometry on the chip.")
+parser.add_argument("--grid", type=int, default=14,
+                    help="Feature-grid side (14 = production CLEVR geometry; "
+                    "8 keeps a CPU fallback run tractable).")
+parser.add_argument("--max-batch", type=int, default=0,
+                    help="Cap every phase's batch size (0 = no cap); for "
+                    "CPU fallback runs.")
 
 # Phase hyperparameters tuned for the mini task's scale (a few thousand
 # examples, a deterministic grammar): higher LRs / fewer iterations than the
@@ -106,6 +112,7 @@ def make_dataset(args) -> None:
     spec = {
         "train_images": args.train_images, "val_images": args.val_images,
         "questions_per_image": args.questions_per_image, "seed": args.seed,
+        "grid": args.grid,
     }
     if os.path.exists(marker) and json.load(open(marker)) == spec:
         logging.info("mini-CLEVR dataset already generated at %s", args.root)
@@ -115,6 +122,7 @@ def make_dataset(args) -> None:
         args.root, n_train_images=args.train_images, n_val_images=args.val_images,
         n_test_images=max(args.val_images // 3, 1),
         questions_per_image=args.questions_per_image, seed=args.seed,
+        height=args.grid, width=args.grid,
     )
     json.dump(spec, open(marker, "w"))
     logging.info("generated mini-CLEVR (%d train images) in %.1fs",
@@ -144,13 +152,15 @@ def phase_config(args, phase: str, num_iterations: int) -> Config:
         os.path.join(args.runs, "module_training", "checkpoint_best.ckpt"),
         # Production model geometry; only the raw feature depth differs (the
         # generative map's 16 channels instead of ResNet's 1024).
-        "NMN.IMAGE_FEATURE_SIZE", [FEATURE_CHANNELS, 14, 14],
+        "NMN.IMAGE_FEATURE_SIZE", [FEATURE_CHANNELS, args.grid, args.grid],
         "NMN.MODULE_CHANNELS", 128,
         "NMN.CLASS_PROJECTION_CHANNELS", 1024,
         "NMN.CLASSIFIER_LINEAR_SIZE", 1024,
         "OPTIM.NUM_ITERATIONS", num_iterations,
     ]
     for key, value in PHASE_HPARAMS[phase].items():
+        if key == "OPTIM.BATCH_SIZE" and args.max_batch:
+            value = min(value, args.max_batch)
         overrides += [key, value]
     if args.tiny:
         for model in ("PROGRAM_PRIOR", "PROGRAM_GENERATOR", "QUESTION_RECONSTRUCTOR"):
