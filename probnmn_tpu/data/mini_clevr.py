@@ -46,19 +46,18 @@ import numpy as np
 
 from probnmn_tpu.data.vocabulary import Vocabulary
 from probnmn_tpu.utils.clevr import (
+    CLEVR_ATTRIBUTES,
+    CLEVR_RELATIONS,
     MAX_PROGRAM_LENGTH,
     MAX_QUESTION_LENGTH,
     make_clevr_like_vocabulary,
 )
 
-# Attribute inventories (the real CLEVR ones — keep in sync with utils.clevr).
-ATTRIBUTES: Dict[str, List[str]] = {
-    "color": ["blue", "brown", "cyan", "gray", "green", "purple", "red", "yellow"],
-    "material": ["metal", "rubber"],
-    "shape": ["cube", "cylinder", "sphere"],
-    "size": ["large", "small"],
-}
-RELATIONS = ["behind", "front", "left", "right"]
+# The single source of truth lives in utils.clevr (the program/answer token
+# catalogs are derived from the same lists, so generator, executor, and
+# vocabulary can never desynchronize).
+ATTRIBUTES: Dict[str, List[str]] = CLEVR_ATTRIBUTES
+RELATIONS = CLEVR_RELATIONS
 
 # Feature-map layout of the fixed generative map (presence + one-hot blocks).
 FEATURE_CHANNELS = 16
@@ -412,9 +411,17 @@ def generate_split(seed: int, num_images: int, questions_per_image: int,
         made = 0
         while made < questions_per_image:
             example = generate_example(rs, scene)
-            if example is None:     # pathological scene; re-roll it
+            if example is None:
+                # Pathological scene: re-roll it AND discard any examples
+                # already emitted against the old scene — their answers would
+                # otherwise silently refer to the overwritten features.
                 scene = sample_scene(rs, height, width)
                 features[img] = render_features(scene, rs, height, width)
+                del programs[len(programs) - made:]
+                del questions[len(questions) - made:]
+                del answers[len(answers) - made:]
+                del image_indices[len(image_indices) - made:]
+                made = 0
                 continue
             program, question, answer = example
             programs.append(program)

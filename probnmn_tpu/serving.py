@@ -180,6 +180,9 @@ class InferenceEngine:
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
         # Sliding window of dispatcher request latencies (submit -> result).
         self._latencies: deque = deque(maxlen=16384)
+        # REQUEST-level backlog (Queue.qsize counts groups, which would
+        # understate depth by the group size under submit_many traffic).
+        self._queued_requests = 0
         self._started_at = time.monotonic()
 
     # ------------------------------------------------------------------ build
@@ -287,11 +290,18 @@ class InferenceEngine:
         self._running.set()
 
         def dispatch():
+            # A group pulled off the queue that would overflow the compiled
+            # batch is carried to the NEXT cycle — one device batch per cycle,
+            # never a second mostly-padded serial predict().
+            carry = None
             while self._running.is_set():
-                try:
-                    first = self._queue.get(timeout=0.05)
-                except Empty:
-                    continue
+                if carry is not None:
+                    first, carry = carry, None
+                else:
+                    try:
+                        first = self._queue.get(timeout=0.05)
+                    except Empty:
+                        continue
                 # Queue items are GROUPS: (questions (n,Tq), images (n,...),
                 # [n futures], t_submit) — submit() enqueues groups of 1,
                 # submit_many() of n, so the per-request Python cost (queue
@@ -307,6 +317,9 @@ class InferenceEngine:
                         group = self._queue.get(timeout=remaining)
                     except Empty:
                         break
+                    if total + group[0].shape[0] > self._batch_size:
+                        carry = group
+                        break
                     pending.append(group)
                     total += group[0].shape[0]
                 # np.concatenate stays inside the try: one mis-shaped request
@@ -320,6 +333,7 @@ class InferenceEngine:
                     for p in pending:
                         for fut in p[2]:
                             fut.set_exception(e)
+                    self._note_dequeued(total)
                     continue
                 done = time.monotonic()
                 latencies = []
@@ -332,6 +346,7 @@ class InferenceEngine:
                     cursor += n
                 with self._lock:
                     self._latencies.extend(latencies)
+                self._note_dequeued(total)
 
         self._dispatcher = threading.Thread(
             target=dispatch, daemon=True, name="probnmn-serving-dispatcher"
@@ -366,8 +381,14 @@ class InferenceEngine:
         questions = np.asarray(questions)
         images = np.asarray(images)
         futures: List[Future] = [Future() for _ in range(questions.shape[0])]
+        with self._lock:
+            self._queued_requests += len(futures)
         self._queue.put((questions, images, futures, time.monotonic()))
         return futures
+
+    def _note_dequeued(self, n: int) -> None:
+        with self._lock:
+            self._queued_requests -= n
 
     # ------------------------------------------------------------------ stats
     def stats(self) -> Dict[str, Any]:
@@ -381,7 +402,8 @@ class InferenceEngine:
             lat = np.asarray(self._latencies, np.float64)
         elapsed = max(time.monotonic() - self._started_at, 1e-9)
         s["qps"] = s["requests"] / elapsed
-        s["queue_depth"] = self._queue.qsize()
+        with self._lock:
+            s["queue_depth"] = self._queued_requests  # requests, not groups
         if lat.size:
             s["latency_p50"], s["latency_p95"], s["latency_p99"] = (
                 float(np.percentile(lat, q)) for q in (50, 95, 99)

@@ -16,6 +16,17 @@ _SHAPES = ["cube", "cylinder", "sphere"]
 _SIZES = ["large", "small"]
 _RELATIONS = ["behind", "front", "left", "right"]
 
+# Public single source of truth for the CLEVR attribute/relation inventories
+# (consumed by data/mini_clevr.py's generator + executor; the program/answer
+# token catalogs below are derived from the same lists).
+CLEVR_ATTRIBUTES = {
+    "color": _COLORS,
+    "material": _MATERIALS,
+    "shape": _SHAPES,
+    "size": _SIZES,
+}
+CLEVR_RELATIONS = list(_RELATIONS)
+
 CLEVR_PROGRAM_FUNCTIONS: List[str] = sorted(
     ["scene", "unique", "count", "exist", "intersect", "union",
      "equal_integer", "less_than", "greater_than"]

@@ -80,6 +80,8 @@ def chain(body, m):
 
 
 def main(args):
+    if args.m_hi <= args.m_lo:
+        parser.error(f"--m-hi ({args.m_hi}) must exceed --m-lo ({args.m_lo})")
     vocab = make_clevr_like_vocabulary()
     config = Config(None, [])
     B = args.batch_size

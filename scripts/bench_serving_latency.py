@@ -87,6 +87,7 @@ def measure_capacity(engine, args, question, image) -> float:
         for f in window:
             f.result()
 
+    requests_before = engine.stats()["requests"]
     t0 = time.monotonic()
     threads = [threading.Thread(target=feeder, args=(i,)) for i in range(args.feeders)]
     for t in threads:
@@ -94,8 +95,9 @@ def measure_capacity(engine, args, question, image) -> float:
     for t in threads:
         t.join()
     elapsed = time.monotonic() - t0
-    stats = engine.stats()
-    return stats["requests"] / elapsed
+    # Window delta, not the engine-lifetime counter (which includes warm-up
+    # and any earlier traffic).
+    return (engine.stats()["requests"] - requests_before) / elapsed
 
 
 def drive_load_measured(engine, args, question, image, rate: float):

@@ -192,12 +192,12 @@ def main(args):
         artifact["self_check_deterministic"] = bool(same)
         logger.info("self-check (module_training re-eval, %.1fs): %s",
                     time.time() - t0, "IDENTICAL" if same else "MISMATCH")
-        if not same:
-            return 1
 
+    # Write the artifact BEFORE the failure return — the evidence matters
+    # most exactly when the self-check mismatches.
     json.dump(artifact, open(args.output, "w"), indent=2)
     logger.info("artifact written to %s", args.output)
-    return 0
+    return 1 if artifact.get("self_check_deterministic") is False else 0
 
 
 if __name__ == "__main__":

@@ -288,3 +288,34 @@ def test_submit_many_matches_individual_submits(engine_setup):
         engine.stop()
     want = engine.predict(s["questions"][:5], s["images"][:5])
     assert got == want
+
+
+def test_dispatcher_never_overshoots_compiled_batch(engine_setup):
+    """Groups whose sizes don't divide the batch must not force a second,
+    mostly-padded device batch in one cycle: an overflowing group is carried
+    to the next cycle. Observable contract: all requests resolve correctly
+    and stats()['batches'] stays at the single-device-batch-per-cycle rate."""
+    s = engine_setup
+    engine = InferenceEngine.from_checkpoint(
+        s["config"], s["ckpt"], batch_size=8, compute_dtype="float32",
+        decoding="greedy",
+    )
+    batches_before = engine.stats()["batches"]
+    engine.start(max_batch_delay=0.2)
+    try:
+        # Three groups of 3 against batch 8: cycle 1 takes 3+3 (carry 3),
+        # cycle 2 takes the carried 3. Never a 9-request concat (which would
+        # chunk into 8 + a 7/8-padded second predict).
+        groups = [
+            engine.submit_many(s["questions"][i:i + 3], s["images"][i:i + 3])
+            for i in (0, 3, 0)
+        ]
+        answers = [f.result(timeout=60) for g in groups for f in g]
+    finally:
+        engine.stop()
+    want = engine.predict(s["questions"][:6], s["images"][:6])
+    assert answers[:6] == want
+    assert answers[6:9] == want[:3]
+    # 2 cycles => exactly 2 device batches (plus the compare predict's 1).
+    assert engine.stats()["batches"] - batches_before <= 3
+    assert engine.stats()["queue_depth"] == 0
