@@ -218,6 +218,10 @@ class Config:
             "LR_INITIAL": 0.00001,
             "LR_GAMMA": 0.5,
             "LR_PATIENCE": 3,
+            # Extension beyond the reference (which keeps torch-Adam f32
+            # moments): "bfloat16" stores Adam's first moment in bf16 to halve
+            # its per-step HBM traffic on the 50M-param joint tree.
+            "ADAM_MU_DTYPE": "float32",
         }
 
         _C.CHECKPOINTS = {

@@ -80,7 +80,8 @@ class _Trainer:
             self._params = jax.device_put(self._params)
 
         self._tx = make_optimizer(
-            self._C.OPTIM.LR_INITIAL, self._C.OPTIM.WEIGHT_DECAY
+            self._C.OPTIM.LR_INITIAL, self._C.OPTIM.WEIGHT_DECAY,
+            mu_dtype=getattr(self._C.OPTIM, "ADAM_MU_DTYPE", "float32"),
         )
         self._opt_state = self._tx.init(self._params)
         self._lr_scheduler = ReduceLROnPlateau(

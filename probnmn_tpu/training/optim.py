@@ -20,12 +20,23 @@ import optax
 GRAD_CLAMP = 5.0
 
 
-def make_optimizer(lr_initial: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+def make_optimizer(lr_initial: float, weight_decay: float = 0.0,
+                   mu_dtype: str = "float32") -> optax.GradientTransformation:
+    r"""``mu_dtype`` ("float32" or "bfloat16", config ``OPTIM.ADAM_MU_DTYPE``)
+    stores Adam's first moment in that dtype. The reference always keeps f32
+    moments (torch Adam); bf16 halves the first-moment HBM read+write per step
+    — a bandwidth lever for the 50M-parameter joint tree — while the second
+    moment and the update math stay f32 (optax upcasts mu before use)."""
+    adam_mu_dtype = jnp.dtype(mu_dtype)
+    if adam_mu_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"OPTIM.ADAM_MU_DTYPE must be float32/bfloat16, got {mu_dtype}")
+
     def build(learning_rate):
         steps = [optax.clip(GRAD_CLAMP)]
         if weight_decay:
             steps.append(optax.add_decayed_weights(weight_decay))
-        steps.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        steps.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                         mu_dtype=adam_mu_dtype))
         steps.append(optax.scale_by_learning_rate(learning_rate))  # = scale(-lr)
         return optax.chain(*steps)
 

@@ -39,3 +39,39 @@ def test_reduce_lr_on_plateau_negative_plateau_reduces():
     lrs = [ours.step(-1.0) for _ in range(5)]
     want = _torch_lr_trajectory([-1.0] * 5, 1e-2, 0.1, 2)
     np.testing.assert_allclose(lrs, want, rtol=1e-12)
+
+
+def test_adam_mu_dtype_bf16_halves_moment_storage_and_tracks_f32():
+    r"""OPTIM.ADAM_MU_DTYPE=bfloat16 (extension; the reference's torch Adam is
+    always f32): first moment stored bf16, updates stay close to the f32
+    optimizer over a short trajectory."""
+    import jax
+    import jax.numpy as jnp
+    from probnmn_tpu.training.optim import make_optimizer
+
+    params = {"w": jnp.asarray(np.random.RandomState(0).randn(64, 64), jnp.float32)}
+
+    def loss(p):
+        return jnp.sum(jnp.sin(p["w"]) ** 2)
+
+    trajs = {}
+    for mu_dtype in ("float32", "bfloat16"):
+        tx = make_optimizer(1e-2, mu_dtype=mu_dtype)
+        state = tx.init(params)
+        mu_leaves = [
+            leaf for leaf in jax.tree_util.tree_leaves(state)
+            if hasattr(leaf, "dtype") and leaf.shape == (64, 64)
+        ]
+        assert any(leaf.dtype == jnp.dtype(mu_dtype) for leaf in mu_leaves)
+        p = params
+        for _ in range(20):
+            grads = jax.grad(loss)(p)
+            updates, state = tx.update(grads, state, p)
+            import optax
+            p = optax.apply_updates(p, updates)
+        trajs[mu_dtype] = p["w"]
+    # bf16 first moment perturbs the trajectory only at bf16 resolution.
+    np.testing.assert_allclose(trajs["bfloat16"], trajs["float32"], atol=5e-3)
+
+    with pytest.raises(ValueError):
+        make_optimizer(1e-2, mu_dtype="float16")
