@@ -60,10 +60,13 @@ parser.add_argument("--phases", nargs="*", default=[],
 parser.add_argument("--assert-thresholds", action="store_true",
                     help="Exit nonzero unless every phase clears its bar.")
 parser.add_argument("--tiny", action="store_true",
-                    help="Shrink model geometry (32-d LSTMs, 16-channel "
-                    "modules) so the whole chain smokes on one CPU core; the "
-                    "real convergence run uses the default production "
-                    "geometry on the chip.")
+                    help="Alias for --geometry tiny.")
+parser.add_argument("--geometry", choices=["production", "small", "tiny"],
+                    default="production",
+                    help="Model geometry: production (256-d/2-layer LSTMs, "
+                    "128-channel modules — the chip run), small (128-d/1-layer, "
+                    "64-channel — a capable CPU-fallback), tiny (32-d/1-layer, "
+                    "16-channel — smoke scale).")
 parser.add_argument("--grid", type=int, default=14,
                     help="Feature-grid side (14 = production CLEVR geometry; "
                     "8 keeps a CPU fallback run tractable).")
@@ -162,13 +165,18 @@ def phase_config(args, phase: str, num_iterations: int) -> Config:
         if key == "OPTIM.BATCH_SIZE" and args.max_batch:
             value = min(value, args.max_batch)
         overrides += [key, value]
-    if args.tiny:
+    geom = {
+        "tiny": dict(lstm=32, layers=1, channels=16, proj=32, linear=64),
+        "small": dict(lstm=128, layers=1, channels=64, proj=128, linear=256),
+    }.get(args.geometry)
+    if geom:
         for model in ("PROGRAM_PRIOR", "PROGRAM_GENERATOR", "QUESTION_RECONSTRUCTOR"):
-            overrides += [f"{model}.INPUT_SIZE", 32, f"{model}.HIDDEN_SIZE", 32,
-                          f"{model}.NUM_LAYERS", 1]
-        overrides += ["NMN.MODULE_CHANNELS", 16,
-                      "NMN.CLASS_PROJECTION_CHANNELS", 32,
-                      "NMN.CLASSIFIER_LINEAR_SIZE", 64]
+            overrides += [f"{model}.INPUT_SIZE", geom["lstm"],
+                          f"{model}.HIDDEN_SIZE", geom["lstm"],
+                          f"{model}.NUM_LAYERS", geom["layers"]]
+        overrides += ["NMN.MODULE_CHANNELS", geom["channels"],
+                      "NMN.CLASS_PROJECTION_CHANNELS", geom["proj"],
+                      "NMN.CLASSIFIER_LINEAR_SIZE", geom["linear"]]
     return Config(None, overrides)
 
 
@@ -221,20 +229,32 @@ def check_threshold(phase: str, metrics) -> tuple:
 
 
 def write_report(args, results) -> None:
+    geometry = {
+        "tiny": "tiny smoke geometry (32-d/1-layer LSTMs, 16-channel NMN modules)",
+        "small": "small CPU-fallback geometry (128-d/1-layer LSTMs, 64-channel NMN modules)",
+        "production": "production model geometry (256-d/2-layer LSTMs, 128-channel NMN modules)",
+    }[args.geometry]
+    cmd = [f"python scripts/run_mini_clevr.py --seed {args.seed}"]
+    if args.geometry != "production":
+        cmd.append(f"--geometry {args.geometry}")
+    if args.grid != 14:
+        cmd.append(f"--grid {args.grid}")
+    if args.max_batch:
+        cmd.append(f"--max-batch {args.max_batch}")
     lines = [
         "# Mini-CLEVR convergence run",
         "",
         "Outcome-level verification that the four chained phases learn "
         "(VERDICT r3 item 1): the production CLIs trained on the synthetic "
-        "mini-CLEVR task (`probnmn_tpu/data/mini_clevr.py`) at production "
-        "model geometry (256-d/2-layer LSTMs, 128-channel NMN modules).",
+        f"mini-CLEVR task (`probnmn_tpu/data/mini_clevr.py`) at {geometry}.",
         "",
         f"- dataset: {args.train_images} train images x "
         f"{args.questions_per_image} questions ({args.train_images * args.questions_per_image} "
         f"examples), {args.supervision} supervised; majority-class answer "
-        "baseline ~0.29; program vocabulary 46 tokens.",
+        "baseline ~0.29; program vocabulary 46 tokens; "
+        f"{args.grid}x{args.grid} feature grid.",
         f"- iterations: {dict(zip(PHASE_ORDER, args.iters))}",
-        f"- command: `python scripts/run_mini_clevr.py --seed {args.seed}`",
+        f"- command: `{' '.join(cmd)}`",
         "",
         "| phase | headline metric | value | bar | pass | train s | all val metrics |",
         "|---|---|---|---|---|---|---|",
@@ -258,6 +278,8 @@ def write_report(args, results) -> None:
 
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    if args.tiny:
+        args.geometry = "tiny"
     if args.compilation_cache_dir:
         from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
 
