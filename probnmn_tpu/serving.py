@@ -185,6 +185,15 @@ class InferenceEngine:
         self._queued_requests = 0
         self._started_at = time.monotonic()
 
+    @property
+    def vocabulary(self):
+        return self._vocabulary
+
+    @property
+    def batch_size(self) -> int:
+        r"""The one compiled device-batch size."""
+        return self._batch_size
+
     # ------------------------------------------------------------------ build
     @classmethod
     def from_checkpoint(

@@ -1,0 +1,118 @@
+"""HTTP serving CLI (scripts/serve.py): tokenize -> dispatcher -> answers over
+stdlib http.server. (Beyond the reference, whose only inference surface is the
+batch script reference scripts/inference.py:74-95.)"""
+import json
+import os
+import threading
+import urllib.request
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from probnmn_tpu.data.vocabulary import Vocabulary
+from probnmn_tpu.models import nmn as nmn_lib
+from probnmn_tpu.models import program_generator
+from probnmn_tpu.utils.checkpointing import save_objects
+
+from tests.clevr_fixtures import build_fixture_data, make_fixture_config
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from scripts import serve
+
+    root = str(tmp_path_factory.mktemp("serve_cli"))
+    build_fixture_data(root)
+    config = make_fixture_config(root, "joint_training")
+    vocab = Vocabulary.from_files(config.DATA.VOCABULARY)
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    pg_params = program_generator.init_params(
+        k1, program_generator.make_spec(vocab, config))
+    nmn_params = nmn_lib.init_nmn_params(k2, nmn_lib.make_spec(vocab, config))
+    ckpt = os.path.join(root, "serve.ckpt")
+    save_objects(ckpt, {"program_generator": pg_params, "nmn": nmn_params})
+
+    # A tiny features H5 in the reference layout for image_index requests.
+    rs = np.random.RandomState(0)
+    feats = rs.randn(4, 12, 6, 6).astype(np.float32)
+    features_h5 = os.path.join(root, "serve_features.h5")
+    with h5py.File(features_h5, "w") as f:
+        f.attrs["split"] = "test"
+        f.create_dataset("features", data=feats)
+
+    config_path = os.path.join(root, "serve_config.yml")
+    config.dump(config_path)
+    args = serve.parser.parse_args([
+        "--config-yml", config_path, "--checkpoint", ckpt,
+        "--batch-size", "8", "--decoding", "greedy",
+        "--compute-dtype", "float32", "--features-h5", features_h5,
+        "--max-question-length", "12", "--port", "0",
+    ])
+    ctx = serve.ServingContext(args)
+    httpd = serve.ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(ctx))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield dict(base=base, ctx=ctx, vocab=vocab, feats=feats)
+    httpd.shutdown()
+    ctx.engine.stop()
+
+
+def _post(base, payload):
+    req = urllib.request.Request(
+        base + "/predict", json.dumps(payload).encode(),
+        {"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz_and_stats(server):
+    with urllib.request.urlopen(server["base"] + "/healthz", timeout=30) as r:
+        assert json.loads(r.read()) == {"ok": True}
+    with urllib.request.urlopen(server["base"] + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert {"requests", "batches", "qps", "queue_depth"} <= set(stats)
+
+
+def test_predict_text_question_against_engine(server):
+    status, body = _post(server["base"], {
+        "question": "how many red cubes are there", "image_index": 2})
+    assert status == 200 and len(body["answers"]) == 1
+    assert body["latency_ms"] > 0
+
+    # Same request via the synchronous engine path must agree (greedy decode).
+    ctx = server["ctx"]
+    q, _ = ctx.tokenizer.tokenize_questions(
+        ["how many red cubes are there"], max_len=12)
+    want = ctx.engine.predict(q.astype(np.int64), server["feats"][2:3])
+    assert body["answers"] == want
+
+
+def test_predict_batch_and_inline_features(server):
+    vocab = server["vocab"]
+    rs = np.random.RandomState(5)
+    tokens = rs.randint(4, vocab.get_vocab_size("questions"), (3, 7)).tolist()
+    feats = rs.randn(3, 12, 6, 6).astype(np.float32)
+    status, body = _post(server["base"], {
+        "question_tokens": tokens, "features": feats.tolist()})
+    assert status == 200 and len(body["answers"]) == 3
+    answer_vocab = {vocab.get_token_from_index(i, "answers")
+                    for i in range(vocab.get_vocab_size("answers"))}
+    assert set(body["answers"]) <= answer_vocab
+
+
+def test_predict_errors_are_400_not_hangs(server):
+    status, body = _post(server["base"], {"image_index": 0})
+    assert status == 400 and "question" in body["error"]
+    status, body = _post(server["base"], {
+        "question": "hi", "image_index": 10**6})
+    assert status in (400, 500)  # out-of-range index surfaces, never hangs
+    # Server still alive afterwards.
+    with urllib.request.urlopen(server["base"] + "/healthz", timeout=30) as r:
+        assert r.status == 200
