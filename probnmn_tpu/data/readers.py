@@ -11,6 +11,7 @@ for the prefetch pipeline.
 """
 from __future__ import annotations
 
+import threading
 from typing import Dict
 
 import h5py
@@ -57,6 +58,9 @@ class ClevrImageFeaturesReader:
         self.features_h5path = features_h5path
         self._in_memory = in_memory
         self._handle = None
+        # Streaming reads may come from multiple threads (e.g. the HTTP
+        # serving CLI); the lazy open must not race and leak handles.
+        self._open_lock = threading.Lock()
         with h5py.File(features_h5path, "r") as f:
             self._split = f.attrs["split"]
             if isinstance(self._split, bytes):
@@ -69,7 +73,9 @@ class ClevrImageFeaturesReader:
 
     def _file(self):
         if self._handle is None:
-            self._handle = h5py.File(self.features_h5path, "r")
+            with self._open_lock:
+                if self._handle is None:
+                    self._handle = h5py.File(self.features_h5path, "r")
         return self._handle
 
     def __getitem__(self, index):

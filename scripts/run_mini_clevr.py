@@ -279,6 +279,8 @@ def write_report(args, results) -> None:
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     if args.tiny:
+        if args.geometry not in ("production", "tiny"):
+            parser.error(f"--tiny conflicts with --geometry {args.geometry}")
         args.geometry = "tiny"
     if args.compilation_cache_dir:
         from probnmn_tpu.utils.compilation_cache import enable_compilation_cache

@@ -78,6 +78,10 @@ class ServingContext:
         from probnmn_tpu.serving import InferenceEngine
 
         config = Config(args.config_yml, args.config_override)
+        # Compiled feature geometry: inline-'features' requests must match it
+        # (any other shape would poison the coalesced batch and force a fresh
+        # XLA trace per novel shape).
+        self.feature_shape = tuple(config.NMN.IMAGE_FEATURE_SIZE)
         self.engine = InferenceEngine.from_checkpoint(
             config, args.checkpoint,
             batch_size=args.batch_size or None,
@@ -103,13 +107,18 @@ class ServingContext:
         self.engine.start(max_batch_delay=args.max_batch_delay)
 
     # ---------------------------------------------------------------- request
-    def answer(self, payload: dict) -> dict:
-        t0 = time.monotonic()
+    def parse(self, payload: dict):
+        r"""Validate the request up front (raises ValueError -> HTTP 400);
+        nothing malformed may reach the shared dispatcher batch."""
         questions = self._questions_array(payload)
         images = self._features_array(payload, questions.shape[0])
         if questions.shape[0] != images.shape[0]:
             raise ValueError(
                 f"{questions.shape[0]} questions vs {images.shape[0]} images")
+        return questions, images
+
+    def answer(self, questions, images) -> dict:
+        t0 = time.monotonic()
         futures = self.engine.submit_many(questions, images)
         answers = [f.result() for f in futures]
         return {
@@ -134,16 +143,32 @@ class ServingContext:
                 raise ValueError(
                     "need 'question', 'questions', or 'question_tokens'")
             texts = [payload["question"]]
-        ids, _ = self.tokenizer.tokenize_questions(
+        if isinstance(texts, str):  # a bare string is ONE question, not chars
+            texts = [texts]
+        if not all(isinstance(t, str) for t in texts):
+            raise ValueError("'questions' must be a list of strings")
+        ids, lengths = self.tokenizer.tokenize_questions(
             list(texts), max_len=self.max_question_length
         )
+        over = np.nonzero(lengths > self.max_question_length)[0]
+        if over.size:  # same contract as the question_tokens path: no silent truncation
+            raise ValueError(
+                f"question {int(over[0])} has {int(lengths[over[0]])} tokens "
+                f"(> --max-question-length={self.max_question_length})")
         return ids.astype(np.int64)
 
     def _features_array(self, payload: dict, n: int) -> np.ndarray:
         if "features" in payload:
-            feats = np.asarray(payload["features"], np.float32)
+            try:
+                feats = np.asarray(payload["features"], np.float32)
+            except (ValueError, TypeError) as error:
+                raise ValueError(f"malformed 'features': {error}")
             if feats.ndim == 3:  # one image for a single-question request
                 feats = feats[None]
+            if feats.shape[1:] != self.feature_shape:
+                raise ValueError(
+                    f"'features' must be shaped (n,) + {self.feature_shape} "
+                    f"(the compiled NMN.IMAGE_FEATURE_SIZE); got {feats.shape}")
             return feats
         indices = payload.get("image_indices")
         if indices is None:
@@ -153,8 +178,14 @@ class ServingContext:
             indices = [payload["image_index"]] * n
         if self.features is None:
             raise ValueError("no --features-h5 loaded; pass inline 'features'")
-        return np.stack([np.asarray(self.features[int(i)], np.float32)
-                         for i in indices])
+        idx = np.asarray(indices)
+        if idx.ndim != 1 or not np.issubdtype(idx.dtype, np.integer):
+            raise ValueError("'image_indices' must be a flat list of integers")
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self.features)):
+            raise ValueError(
+                f"image index out of range [0, {len(self.features)})")
+        # One vectorized (sorted/deduped) H5 read, not a read per request item.
+        return np.asarray(self.features[idx.astype(np.int64)], np.float32)
 
 
 def make_handler(ctx: ServingContext):
@@ -180,13 +211,20 @@ def make_handler(ctx: ServingContext):
         def do_POST(self):
             if self.path != "/predict":
                 return self._reply(404, {"error": f"unknown path {self.path}"})
+            # Client-input problems (parse/validate) -> 400. Anything raised
+            # once the request is in the engine is a SERVER failure: log it
+            # and 500 — never disguise engine errors as client errors.
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                return self._reply(200, ctx.answer(payload))
+                if not isinstance(payload, dict):
+                    raise ValueError("request body must be a JSON object")
+                questions, images = ctx.parse(payload)
             except (ValueError, KeyError, TypeError) as error:
                 return self._reply(400, {"error": str(error)})
-            except Exception as error:  # engine failure: surface, don't hang
+            try:
+                return self._reply(200, ctx.answer(questions, images))
+            except Exception as error:
                 logger.exception("predict failed")
                 return self._reply(500, {"error": str(error)})
 

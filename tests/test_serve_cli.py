@@ -110,9 +110,25 @@ def test_predict_batch_and_inline_features(server):
 def test_predict_errors_are_400_not_hangs(server):
     status, body = _post(server["base"], {"image_index": 0})
     assert status == 400 and "question" in body["error"]
+    # Out-of-range AND negative indices are client errors (negative Python
+    # indexing must not silently serve the wrong image).
+    for bad in (10**6, -1):
+        status, body = _post(server["base"], {
+            "question": "hi", "image_index": bad})
+        assert status == 400 and "out of range" in body["error"]
+    # Inline features of the wrong geometry are rejected before they can
+    # poison the shared dispatcher batch or force a fresh XLA trace.
     status, body = _post(server["base"], {
-        "question": "hi", "image_index": 10**6})
-    assert status in (400, 500)  # out-of-range index surfaces, never hangs
+        "question": "hi", "features": np.zeros((1, 12, 7, 7)).tolist()})
+    assert status == 400 and "IMAGE_FEATURE_SIZE" in body["error"]
+    # A bare string 'questions' is one question, not len(str) questions.
+    status, body = _post(server["base"], {
+        "questions": "how many cubes", "image_index": 0})
+    assert status == 200 and len(body["answers"]) == 1
+    # Over-length text is rejected like over-length question_tokens.
+    status, body = _post(server["base"], {
+        "question": " ".join(["red"] * 20), "image_index": 0})
+    assert status == 400 and "max-question-length" in body["error"]
     # Server still alive afterwards.
     with urllib.request.urlopen(server["base"] + "/healthz", timeout=30) as r:
         assert r.status == 200
