@@ -73,6 +73,14 @@ parser.add_argument("--grid", type=int, default=14,
 parser.add_argument("--max-batch", type=int, default=0,
                     help="Cap every phase's batch size (0 = no cap); for "
                     "CPU fallback runs.")
+parser.add_argument("--nmn-channels", type=int, default=0,
+                    help="Override the NMN module-channel width (0 = the "
+                    "--geometry preset's). The conv cost of the XLA register "
+                    "machine scales with channels^2 — the lever that keeps "
+                    "module/joint training tractable in a CPU fallback run. "
+                    "module_training initializes the NMN fresh, so this may "
+                    "differ from the LSTM geometry as long as module_training "
+                    "and joint_training agree.")
 
 # Phase hyperparameters tuned for the mini task's scale (a few thousand
 # examples, a deterministic grammar): higher LRs / fewer iterations than the
@@ -177,6 +185,8 @@ def phase_config(args, phase: str, num_iterations: int) -> Config:
         overrides += ["NMN.MODULE_CHANNELS", geom["channels"],
                       "NMN.CLASS_PROJECTION_CHANNELS", geom["proj"],
                       "NMN.CLASSIFIER_LINEAR_SIZE", geom["linear"]]
+    if args.nmn_channels:
+        overrides += ["NMN.MODULE_CHANNELS", args.nmn_channels]
     return Config(None, overrides)
 
 
@@ -241,6 +251,8 @@ def write_report(args, results) -> None:
         cmd.append(f"--grid {args.grid}")
     if args.max_batch:
         cmd.append(f"--max-batch {args.max_batch}")
+    if args.nmn_channels:
+        cmd.append(f"--nmn-channels {args.nmn_channels}")
     lines = [
         "# Mini-CLEVR convergence run",
         "",
@@ -266,9 +278,10 @@ def write_report(args, results) -> None:
             for m, d in metrics.items() if isinstance(d, dict)
             for k, v in d.items()
         }
+        train_str = f"{train_s:.0f}" if train_s >= 0 else "(earlier run)"
         lines.append(
             f"| {phase} | {THRESHOLDS[phase][1]} | {value:.4f} | {bar_str} | "
-            f"{'YES' if ok else 'NO'} | {train_s:.0f} | `{json.dumps(flat)}` |"
+            f"{'YES' if ok else 'NO'} | {train_str} | `{json.dumps(flat)}` |"
         )
     lines.append("")
     with open(args.report, "w") as f:
@@ -295,10 +308,19 @@ def main(args):
     iters = dict(zip(PHASE_ORDER, args.iters))
     results = {}
     for phase in PHASE_ORDER:
-        if phase not in phases:
-            continue
-        logging.info("=== phase %s (%d iterations) ===", phase, iters[phase])
-        metrics, train_s = run_phase(args, phase, iters[phase])
+        if phase in phases:
+            logging.info("=== phase %s (%d iterations) ===", phase, iters[phase])
+            metrics, train_s = run_phase(args, phase, iters[phase])
+        else:
+            # Phase trained by an earlier invocation (--phases subset): fold
+            # its best checkpoint's evaluation into the report so partial
+            # re-runs still produce a complete 4-phase table.
+            config_path = os.path.join(args.runs, phase, "mini_config.yml")
+            ckpt = os.path.join(args.runs, phase, "checkpoint_best.ckpt")
+            if not (os.path.exists(config_path) and os.path.exists(ckpt)):
+                continue
+            logging.info("=== phase %s (re-evaluating existing best) ===", phase)
+            metrics, train_s = evaluate_best(args, phase, config_path), -1.0
         results[phase] = (metrics, train_s)
         value, bar_str, ok = check_threshold(phase, metrics)
         logging.info("phase %s: %s = %.4f (%s) -> %s",
