@@ -518,9 +518,12 @@ def nmn_forward_fast(
     mesh=None,
 ) -> Dict[str, jax.Array]:
     r"""Same contract as :func:`nmn_forward`, but the program interpreter is the
-    fused Pallas kernel with its replay-and-reverse backward kernel — fully
-    differentiable wrt ``params`` (cotangents scatter back through the traced
-    bank stacking) and ``features``. This is the production TRAINING path on
+    fused Pallas kernel with a residual-trajectory backward kernel (the
+    training forward streams each example's register/activation trajectory to
+    HBM so the backward skips its replay; ``PROBNMN_NMN_REPLAY_BWD=1`` selects
+    the replay-and-reverse variant) — fully differentiable wrt ``params``
+    (cotangents scatter back through the traced bank stacking) and
+    ``features``. This is the production TRAINING path on
     TPU; gradients match :func:`nmn_forward` (tested in interpret mode against
     the XLA machine, which is itself validated against the torch fixture).
 

@@ -46,6 +46,7 @@ pass is a second Pallas kernel (replay-and-reverse, see
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Tuple
 
@@ -586,81 +587,360 @@ def execute_programs_pallas(
     return out[:B], invalid[:B, 0, 0].astype(bool)
 
 
-# ------------------------------------------------------------------ backward ----------
-def _interpreter_bwd_kernel(
-    # scalar prefetch
-    tokens_ref,      # (B, T) int32, reversed (execution order)
-    kind_ref,        # (V,)
-    slot3_ref,       # (V, MAX_CHAIN)
-    head_slot_ref,   # (V,)
-    cmp_slot_ref,    # (V,)
-    same_slot_ref,   # (V,)
-    invalid_flags,   # (B,) int32 — forward invalid flags (invalid => zero grads)
-    start_ref,       # (B,) first non-pad step in execution order (pad prefix
-                     # is a no-op by the reference's skip rule — skipping it
-                     # here mirrors the forward kernel's ragged execution)
+# ------------------------------------------------------------ training forward --------
+def _interpreter_train_kernel(
+    # scalar prefetch (same 8 operands as the inference kernel)
+    tokens_ref, kind_ref, chain_len_ref, slot3_ref, head_slot_ref,
+    cmp_slot_ref, same_slot_ref, start_ref,
     # tensor inputs
     x_ref,           # (1, H, W, C) stem features block (VMEM)
-    gfin_ref,        # (1, H, W, C) f32 cotangent of the final encoding
-    w3_ref,          # (S3, 9C, C) VMEM-resident unified 3x3 bank
-    b3_ref,          # (S3, 8, 128) VMEM
-    w1_ref,          # (S1, C, 8) VMEM
-    b1_ref,          # (S1, 8, 128) VMEM
-    same_wf_ref,     # (Ss, C, 8) VMEM
-    same_wa_ref,     # (Ss, 1) SMEM f32
-    same_b_ref,      # (Ss, 8, 128) VMEM
-    wcmp_ref,        # (Sc, 2C, C) VMEM
-    bcmp_ref,        # (Sc, 8, 128) VMEM
+    w3_ref, b3_ref, w1_ref, b1_ref, same_wf_ref, same_wa_ref, same_b_ref,
+    wcmp_ref, bcmp_ref,
     # outputs
-    dx_ref,          # (1, H, W, C) f32 per-example stem gradient
-    dw3_ref,         # (S3, 9C, C) f32 VMEM-resident accumulator (constant map)
-    db3_ref,         # (S3, 8, 128) f32 (row 0 = bias grads)
-    dw1_ref,         # (S1, C, 128) f32 (col 0 meaningful; sliced to 8 outside)
-    db1_ref,         # (S1, 8, 128) f32
-    dwf_ref,         # (Ss, C, 128) f32
-    dwa_ref,         # (Ss, 8, 128) f32 (scalar at [s, 0, 0])
-    dsb_ref,         # (Ss, 8, 128) f32
-    dwc_ref,         # (Sc, 2C, C) f32
-    dbc_ref,         # (Sc, 8, 128) f32
+    out_ref,         # (1, H, W, C) final encoding
+    invalid_ref,     # (1, 8, 128) int32
+    otraj_ref,       # (1, T, HW, C) dtype — out register at ENTRY of each step
+    atraj_ref,       # (1, T, MAX_CHAIN+1, HW, C) dtype — chain activations
     # scratch
-    reg_out,         # (HW, C) dtype — replay registers
-    reg_saved,       # (HW, C) dtype
-    out_traj,        # (T, HW, C) dtype — out-register values at entry of each step
-    lscene_ref,      # (T,) SMEM int32 — index of the last scene step before t
-                     # (-1 = none). The saved register only changes at scene
-                     # steps (saved' = out entry of that step), so its per-step
-                     # value is out_traj[lscene[t]] — storing the full saved
-                     # trajectory would double the VMEM footprint past budget.
-    acts,            # (MAX_CHAIN + 1, HW, C) f32 — chain activations
-    acts_traj,       # (T, MAX_CHAIN + 1, HW, C) dtype — per-step chain
-                     # activations captured during replay, so the reverse
-                     # sweep reads them back instead of recomputing every
-                     # heavy step's chain a second time (~one full forward
-                     # saved per backward)
-    g_out,           # (HW, C) f32 — gradient wrt the out register
-    g_saved,         # (HW, C) f32
-    dx_acc,          # (HW, C) f32 — gradient wrt stem features (this example)
+    out_reg, saved_reg, acts, tag_ref,
 ):
-    r"""Backward pass of the fused interpreter: replay-and-reverse per example.
-
-    Phase 1 (replay) re-executes the program, storing the ``out``/``saved``
-    register values at the entry of every step in VMEM — no tag machine needed:
-    per-step actions on a *valid* example are fully determined by the token
-    kind (any failed predicate would have marked the example invalid, and
-    invalid examples receive zero gradient because the forward zeroes their
-    output). Phase 2 sweeps the steps in reverse, reading each heavy
-    step's conv-chain activations back from the replay-captured ``acts_traj``
-    (VMEM-resident; replay computes them anyway to advance the registers)
-    and backpropagating: conv backward uses the shared
-    flat-layout machinery — 9 per-tap contract-dim0 dots for the weight grad
-    and 9 shifted-pad accumulations of per-tap back-projections (g @ W_k^T)
-    for the input grad. ALL bank gradients — including the unified 3x3 bank
-    (~45 MB f32 at CLEVR scale, fitting VMEM alongside the 22 MB bf16 weight
-    bank) — accumulate in VMEM outputs with constant index maps and are
-    written back to HBM once at kernel end; there is no per-layer HBM
-    read-modify-write traffic at all (that DMA was ~2/3 of backward cost in
-    the round-2 kernel, PERF.md trajectory 41.9 -> 24 -> 16 -> this).
+    r"""Forward pass for TRAINING: identical semantics to
+    :func:`_interpreter_kernel`, additionally streaming the per-step register
+    trajectory and chain activations to HBM as residuals. The backward kernel
+    then skips its replay phase entirely (``no_replay``): replay re-executed
+    the whole program (~one full forward, ~4.3 ms/batch-128 measured round 3),
+    while the residual blocks (~9 MB/example bf16) stream back under the
+    reverse sweep's compute and are effectively free. Chain layers here go
+    through per-layer ``compact`` captures (the same activation quantization
+    points as the replay they replace), so gradients are unchanged.
     """
+    T = tokens_ref.shape[1]
+    H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    HW = H * W
+    dtype = x_ref.dtype
+    f32 = jnp.float32
+
+    fh = _flat_conv_helpers(H, W, C)
+    G1, GD = fh["G1"], fh["GD"]
+    to_flat, compact = fh["to_flat"], fh["compact"]
+
+    def conv3x3_flat(flat_bf16, slot, dilation: int, g):
+        tot = fh["conv"](flat_bf16, w3_ref, slot, dilation, g)
+        return tot + b3_ref[slot][0:1, :C].astype(f32)
+
+    def chain_capture(tok, dils):
+        r"""acts[0] must already hold the chain input; computes acts[1..L]
+        with per-layer compact captures (same math as the bwd replay)."""
+        for l, dil in enumerate(dils):
+            g = GD[dil]
+            flat = to_flat(acts[l], g).astype(dtype)
+            z = conv3x3_flat(flat, slot3_ref[tok, l], dil, g)
+            acts[l + 1] = compact(jnp.maximum(z, 0.0), g)
+        return len(dils)
+
+    def head_apply(a_last, hs):
+        head = jnp.dot(
+            a_last.astype(dtype), w1_ref[hs], preferred_element_type=f32
+        ) + b1_ref[hs][0:1, :8].astype(f32)
+        return jax.nn.sigmoid(head[:, :1])
+
+    x = x_ref[0].reshape(HW, C)
+
+    def run_token(t, b):
+        tok = tokens_ref[b, t]
+        kind = kind_ref[tok]
+        out_tag = tag_ref[0]
+        saved_tag = tag_ref[1]
+        valid = tag_ref[2] == 0
+        otraj_ref[0, t] = out_reg[...]  # entry value, before any update
+
+        is_binop = (kind == AND) | (kind == OR)
+        is_chain = (kind == ATTENTION) | (kind == QUERY) | (kind == RELATE)
+        scene_ok = valid & (kind == SCENE)
+        binop_ok = valid & is_binop & (saved_tag != TAG_NONE)
+        do_chain = valid & is_chain & (out_tag == TAG_ATTN)
+        do_cmp = (
+            valid & (kind == COMPARE)
+            & (out_tag == TAG_FEAT) & (saved_tag == TAG_FEAT)
+        )
+        do_same = valid & (kind == SAME) & (out_tag == TAG_ATTN)
+        has_head = head_slot_ref[tok] >= 0
+
+        invalid_now = (
+            (is_binop & (saved_tag == TAG_NONE))
+            | (is_chain & (out_tag != TAG_ATTN))
+            | ((kind == COMPARE) & ((out_tag != TAG_FEAT) | (saved_tag != TAG_FEAT)))
+            | ((kind == SAME) & (out_tag != TAG_ATTN))
+        )
+        both_attn = (out_tag == TAG_ATTN) & (saved_tag == TAG_ATTN)
+        new_out_tag = jnp.where(
+            scene_ok, TAG_ATTN,
+            jnp.where(binop_ok, jnp.where(both_attn, TAG_ATTN, TAG_FEAT),
+            jnp.where(do_chain, jnp.where(has_head, TAG_ATTN, TAG_FEAT),
+            jnp.where(do_cmp, TAG_FEAT,
+            jnp.where(do_same, TAG_ATTN, out_tag)))),
+        )
+        tag_ref[0] = new_out_tag
+        tag_ref[1] = jnp.where(scene_ok, out_tag, saved_tag)
+        tag_ref[2] = tag_ref[2] | jnp.where(valid & invalid_now, 1, 0)
+
+        @pl.when(scene_ok | binop_ok)
+        def _():
+            old_out = out_reg[...]
+            old_saved = saved_reg[...]
+            minmax = jnp.where(
+                kind == AND, jnp.minimum(old_out, old_saved),
+                jnp.maximum(old_out, old_saved),
+            )
+            out_reg[...] = jnp.where(scene_ok, jnp.ones_like(old_out), minmax)
+            saved_reg[...] = jnp.where(scene_ok, old_out, old_saved)
+
+        @pl.when(do_chain | do_cmp | do_same)
+        def _():
+            entry_out = otraj_ref[0, t]  # register at entry (just stored)
+
+            @pl.when(do_chain & (kind == RELATE))
+            def _():
+                acts[0] = (x * entry_out).astype(f32)
+                chain_capture(tok, (1, 2, 4, 8, 1))
+                attn = head_apply(acts[5], head_slot_ref[tok])
+                out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
+
+            @pl.when(do_chain & (kind != RELATE))
+            def _():
+                acts[0] = (x * entry_out).astype(f32)
+                chain_capture(tok, (1, 1))
+
+                @pl.when(has_head)
+                def _():
+                    attn = head_apply(acts[2], head_slot_ref[tok])
+                    out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
+
+                @pl.when(jnp.logical_not(has_head))
+                def _():
+                    out_reg[...] = acts[2].astype(dtype)
+
+            @pl.when(do_cmp)
+            def _():
+                cs = cmp_slot_ref[tok]
+                wc = wcmp_ref[cs]
+                proj = (
+                    jnp.dot(entry_out, wc[:C], preferred_element_type=f32)
+                    + jnp.dot(saved_reg[...], wc[C:], preferred_element_type=f32)
+                    + bcmp_ref[cs][0:1, :C].astype(f32)
+                )
+                acts[0] = jnp.maximum(proj, 0.0)
+                chain_capture(tok, (1, 1))
+                out_reg[...] = acts[2].astype(dtype)
+
+            @pl.when(do_same)
+            def _():
+                ss = same_slot_ref[tok]
+                attn_col = entry_out[:, :1]
+                am = jnp.argmax(attn_col[:, 0].astype(f32), axis=0)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0] == am
+                ).astype(dtype)
+                vec = jnp.sum(x * onehot[:, None], axis=0, keepdims=True)
+                xsel = x * vec
+                head = jnp.dot(xsel, same_wf_ref[ss], preferred_element_type=f32)
+                head = head + attn_col.astype(f32) * same_wa_ref[ss, 0]
+                head = head + same_b_ref[ss][0:1, :8].astype(f32)
+                attn = jax.nn.sigmoid(head[:, :1])
+                out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
+
+            # Same capture rule as the replay it replaces: `same` steps store
+            # unused garbage — never read back by the reverse sweep.
+            atraj_ref[0, t] = acts[...].astype(dtype)
+
+        return ()
+
+    b = pl.program_id(0)
+    out_reg[...] = x
+    saved_reg[...] = jnp.zeros_like(saved_reg)
+    tag_ref[0] = TAG_FEAT
+    tag_ref[1] = TAG_NONE
+    tag_ref[2] = 0
+
+    def loop_cond(carry):
+        t, inv = carry
+        return (t < T) & (inv == 0)
+
+    def loop_body(carry):
+        t, _ = carry
+        run_token(t, b)
+        return (t + 1, tag_ref[2])
+
+    jax.lax.while_loop(loop_cond, loop_body, (start_ref[b], 0))
+
+    invalid = tag_ref[2] | jnp.where(tag_ref[0] != TAG_FEAT, 1, 0)
+    invalid_ref[0] = jnp.full((8, 128), invalid, jnp.int32)
+    out_ref[0] = jnp.where(
+        invalid == 1, jnp.zeros_like(out_reg), out_reg[...]
+    ).reshape(H, W, C)
+
+
+def _execute_train_fwd_pallas(
+    banks, tables, stem_feats, programs, interpret: bool = False
+):
+    r"""Training forward: (final, invalid, out-trajectory, activation-
+    trajectory). The trajectories are the backward kernel's residuals."""
+    B, H, W, C = stem_feats.shape
+    T = programs.shape[1]
+    HW = H * W
+    tokens_rev = jnp.flip(programs, axis=1).astype(jnp.int32)
+    start_t = jnp.argmax(tokens_rev != 0, axis=1).astype(jnp.int32)
+    dtype = stem_feats.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # same_wf
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # same_wa
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # same_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wcmp
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bcmp
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, HW, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, MAX_CHAIN + 1, HW, C),
+                         lambda b, *_: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((HW, C), dtype),                     # out_reg
+            pltpu.VMEM((HW, C), dtype),                     # saved_reg
+            pltpu.VMEM((MAX_CHAIN + 1, HW, C), jnp.float32),  # acts
+            pltpu.SMEM((4,), jnp.int32),                    # tags
+        ],
+    )
+
+    out, invalid, otraj, atraj = pl.pallas_call(
+        _interpreter_train_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W, C), dtype),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, HW, C), dtype),
+            jax.ShapeDtypeStruct((B, T, MAX_CHAIN + 1, HW, C), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        tokens_rev,
+        tables["kind"], tables["chain_len"], tables["slot3"],
+        tables["head_slot"], tables["cmp_slot"], tables["same_slot"],
+        start_t,
+        stem_feats,
+        banks["w3"], banks["b3"], banks["w1"], banks["b1"],
+        banks["same_wf"], banks["same_wa"], banks["same_b"],
+        banks["wcmp"], banks["bcmp"],
+    )
+    return out, invalid[:, 0, 0].astype(bool), otraj, atraj
+
+
+# ------------------------------------------------------------------ backward ----------
+def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
+    r"""Positional refs (Pallas order: scalar prefetch, inputs, outputs,
+    scratch), parsed per mode below.
+
+    Scalar prefetch (both modes):
+      tokens_ref (B, T) int32 reversed (execution order); kind_ref (V,);
+      slot3_ref (V, MAX_CHAIN); head_slot_ref / cmp_slot_ref / same_slot_ref
+      (V,); invalid_flags (B,) int32 — forward invalid flags (invalid => zero
+      grads); start_ref (B,) first non-pad step in execution order (pad prefix
+      is a no-op by the reference's skip rule).
+
+    Tensor inputs:
+      x_ref (1, H, W, C) stem features block; gfin_ref (1, H, W, C) f32
+      cotangent of the final encoding; [no_replay only: otraj_in
+      (1, T, HW, C) and atraj_in (1, T, MAX_CHAIN+1, HW, C) — the training
+      forward's streamed residuals]; then the VMEM-resident weight banks
+      w3 (S3, 9C, C), b3 (S3, 8, 128), w1 (S1, C, 8), b1 (S1, 8, 128),
+      same_wf (Ss, C, 8), same_wa (Ss, 1) SMEM f32, same_b (Ss, 8, 128),
+      wcmp (Sc, 2C, C), bcmp (Sc, 8, 128).
+
+    Outputs:
+      dx_ref (1, H, W, C) f32 per-example stem gradient, then the
+      VMEM-resident f32 gradient-bank accumulators with constant index maps
+      (dw3 (S3, 9C, C), db3, dw1 (S1, C, 128; col 0 meaningful), db1, dwf,
+      dwa (scalar at [s, 0, 0]), dsb, dwc (Sc, 2C, C), dbc).
+
+    Scratch:
+      [replay mode only: reg_out / reg_saved (HW, C) dtype replay registers;
+      out_traj (T, HW, C) dtype out-register entry values; acts_traj
+      (T, MAX_CHAIN+1, HW, C) dtype replay-captured chain activations];
+      lscene_ref (T,) SMEM int32 — index of the last scene step before t
+      (-1 = none; the saved register only changes at scene steps, so its
+      per-step value is out_traj[lscene[t]] — storing the full saved
+      trajectory would double the VMEM footprint past budget);
+      acts (MAX_CHAIN+1, HW, C) f32; g_out / g_saved / dx_acc (HW, C) f32.
+    """
+    if no_replay:
+        (tokens_ref, kind_ref, slot3_ref, head_slot_ref, cmp_slot_ref,
+         same_slot_ref, invalid_flags, start_ref,
+         x_ref, gfin_ref, otraj_in, atraj_in,
+         w3_ref, b3_ref, w1_ref, b1_ref, same_wf_ref, same_wa_ref,
+         same_b_ref, wcmp_ref, bcmp_ref,
+         dx_ref, dw3_ref, db3_ref, dw1_ref, db1_ref, dwf_ref, dwa_ref,
+         dsb_ref, dwc_ref, dbc_ref,
+         lscene_ref, acts, g_out, g_saved, dx_acc) = refs
+        reg_out = reg_saved = out_traj = acts_traj = None
+
+        def read_otraj(t):
+            return otraj_in[0, t]
+
+        def read_acts(t):
+            return atraj_in[0, t]
+    else:
+        (tokens_ref, kind_ref, slot3_ref, head_slot_ref, cmp_slot_ref,
+         same_slot_ref, invalid_flags, start_ref,
+         x_ref, gfin_ref,
+         w3_ref, b3_ref, w1_ref, b1_ref, same_wf_ref, same_wa_ref,
+         same_b_ref, wcmp_ref, bcmp_ref,
+         dx_ref, dw3_ref, db3_ref, dw1_ref, db1_ref, dwf_ref, dwa_ref,
+         dsb_ref, dwc_ref, dbc_ref,
+         reg_out, reg_saved, out_traj, lscene_ref, acts, acts_traj,
+         g_out, g_saved, dx_acc) = refs
+
+        def read_otraj(t):
+            return out_traj[t]
+
+        def read_acts(t):
+            return acts_traj[t]
+    # Backward pass of the fused interpreter, per example.
+    #
+    # Replay mode (the round-3 design): phase 1 re-executes the program,
+    # storing the out/saved register values at the entry of every step in
+    # VMEM — no tag machine needed: per-step actions on a *valid* example are
+    # fully determined by the token kind (any failed predicate would have
+    # marked the example invalid, and invalid examples receive zero gradient
+    # because the forward zeroes their output).
+    #
+    # no_replay mode (round 4): the training forward already streamed the
+    # register/activation trajectories to HBM as residuals; phase 1 reduces
+    # to a scalar SMEM scan computing lscene, and ~one full forward of
+    # recompute per backward disappears (the residual block reads overlap
+    # the reverse sweep's compute).
+    #
+    # Phase 2 sweeps the steps in reverse, reading each heavy step's
+    # conv-chain activations back from the captured trajectory and
+    # backpropagating: conv backward uses the shared flat-layout machinery —
+    # 9 per-tap contract-dim0 dots for the weight grad and 9 shifted-pad
+    # accumulations of per-tap back-projections (g @ W_k^T) for the input
+    # grad. ALL bank gradients — including the unified 3x3 bank (~45 MB f32
+    # at CLEVR scale, fitting VMEM alongside the 22 MB bf16 weight bank) —
+    # accumulate in VMEM outputs with constant index maps and are written
+    # back to HBM once at kernel end; there is no per-layer HBM
+    # read-modify-write traffic at all (that DMA was ~2/3 of backward cost
+    # in the round-2 kernel, PERF.md trajectory 41.9 -> 24 -> 16 -> this).
     b = pl.program_id(0)
     T = tokens_ref.shape[1]
     H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
@@ -782,8 +1062,7 @@ def _interpreter_bwd_kernel(
     g_out[...] = jnp.zeros_like(g_out)
     g_saved[...] = jnp.zeros_like(g_saved)
 
-    @pl.when(invalid_flags[b] == 0)
-    def _():
+    def _replay():
         # ================= phase 1: replay, storing the register trajectory ===
         reg_out[...] = x
         reg_saved[...] = jnp.zeros_like(reg_saved)
@@ -882,6 +1161,20 @@ def _interpreter_bwd_kernel(
 
         jax.lax.fori_loop(start_ref[b], T, replay_step, jnp.int32(-1), unroll=False)
 
+    @pl.when(invalid_flags[b] == 0)
+    def _():
+        if no_replay:
+            # All the replay phase still owes us is lscene: a scalar-only scan
+            # (the trajectories themselves stream in as residual inputs).
+            def scene_scan(t, last):
+                lscene_ref[t] = last
+                return jnp.where(kind_ref[tokens_ref[b, t]] == SCENE, t, last)
+
+            jax.lax.fori_loop(start_ref[b], T, scene_scan, jnp.int32(-1),
+                              unroll=False)
+        else:
+            _replay()
+
         # ================= phase 2: reverse sweep ==============================
         g_out[...] = gfin_ref[0].reshape(HW, C)
         g_saved[...] = jnp.zeros_like(g_saved)
@@ -890,7 +1183,7 @@ def _interpreter_bwd_kernel(
             t = T - 1 - i
             tok = tokens_ref[b, t]
             kind = kind_ref[tok]
-            out_in = out_traj[t]
+            out_in = read_otraj(t)
             ls = lscene_ref[t]
 
             is_chain = (kind == ATTENTION) | (kind == QUERY) | (kind == RELATE)
@@ -907,7 +1200,7 @@ def _interpreter_bwd_kernel(
                 # The saved register's per-step value is the out-register entry
                 # of the last scene step (see lscene_ref) — loaded only by the
                 # branches that consume it.
-                saved_src = out_traj[jnp.maximum(ls, 0)]
+                saved_src = read_otraj(jnp.maximum(ls, 0))
                 return jnp.where(ls >= 0, saved_src, jnp.zeros_like(saved_src))
 
             # ---- cheap register-grad ops, predicated (pad/chain steps skip) --
@@ -935,7 +1228,7 @@ def _interpreter_bwd_kernel(
 
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
-                    acts[...] = acts_traj[t].astype(f32)  # replay-captured chain
+                    acts[...] = read_acts(t).astype(f32)  # captured chain
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
                     g_a = head_bwd(acts[5], hs, attn, go)
@@ -949,7 +1242,7 @@ def _interpreter_bwd_kernel(
 
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
-                    acts[...] = acts_traj[t].astype(f32)  # replay-captured chain
+                    acts[...] = read_acts(t).astype(f32)  # captured chain
 
                     @pl.when(has_head)
                     def _():
@@ -978,7 +1271,7 @@ def _interpreter_bwd_kernel(
                     cs = cmp_slot_ref[tok]
                     wc = wcmp_ref[cs]
                     saved_in = load_saved_in()
-                    acts[...] = acts_traj[t].astype(f32)  # replay-captured chain
+                    acts[...] = read_acts(t).astype(f32)  # captured chain
                     g_a = go
                     for l in (1, 0):
                         g_a = conv_layer_bwd(
@@ -1058,9 +1351,14 @@ def _interpreter_bwd_kernel(
 
 
 def _execute_bwd_pallas(
-    banks, tables, stem_feats, programs, invalid, g_final, interpret=False
+    banks, tables, stem_feats, programs, invalid, g_final, interpret=False,
+    otraj=None, atraj=None,
 ):
+    r"""``otraj``/``atraj`` are the training forward's streamed residuals;
+    when given, the kernel runs in no-replay mode (phase 1 reduced to a
+    scalar lscene scan, trajectory blocks streamed from HBM per example)."""
     B, H, W, C = stem_feats.shape
+    HW = H * W
     T = programs.shape[1]
     tokens_rev = jnp.flip(programs, axis=1).astype(jnp.int32)
     S3 = banks["w3"].shape[0]
@@ -1068,6 +1366,22 @@ def _execute_bwd_pallas(
     Ss = banks["same_wf"].shape[0]
     Sc = banks["wcmp"].shape[0]
     f32 = jnp.float32
+    no_replay = otraj is not None
+
+    traj_in_specs = [
+        pl.BlockSpec((1, T, HW, C), lambda b, *_: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, MAX_CHAIN + 1, HW, C),
+                     lambda b, *_: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+    ] if no_replay else []
+    replay_scratch = [] if no_replay else [
+        pltpu.VMEM((HW, C), stem_feats.dtype),            # reg_out
+        pltpu.VMEM((HW, C), stem_feats.dtype),            # reg_saved
+        pltpu.VMEM((T, HW, C), stem_feats.dtype),         # out_traj
+    ]
+    acts_traj_scratch = [] if no_replay else [
+        pltpu.VMEM((T, MAX_CHAIN + 1, HW, C), stem_feats.dtype),  # acts_traj
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -1075,6 +1389,7 @@ def _execute_bwd_pallas(
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ] + traj_in_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w3 bank (VMEM-resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
@@ -1099,13 +1414,10 @@ def _execute_bwd_pallas(
             pl.BlockSpec((Sc, 2 * C, C), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Sc, 8, 128), lambda b, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((H * W, C), stem_feats.dtype),            # reg_out
-            pltpu.VMEM((H * W, C), stem_feats.dtype),            # reg_saved
-            pltpu.VMEM((T, H * W, C), stem_feats.dtype),         # out_traj
+        scratch_shapes=replay_scratch + [
             pltpu.SMEM((T,), jnp.int32),                         # lscene
             pltpu.VMEM((MAX_CHAIN + 1, H * W, C), f32),          # acts
-            pltpu.VMEM((T, MAX_CHAIN + 1, H * W, C), stem_feats.dtype),  # acts_traj
+        ] + acts_traj_scratch + [
             pltpu.VMEM((H * W, C), f32),                         # g_out
             pltpu.VMEM((H * W, C), f32),                         # g_saved
             pltpu.VMEM((H * W, C), f32),                         # dx_acc
@@ -1113,7 +1425,7 @@ def _execute_bwd_pallas(
     )
 
     outs = pl.pallas_call(
-        _interpreter_bwd_kernel,
+        partial(_interpreter_bwd_kernel, no_replay=no_replay),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         out_shape=[
@@ -1137,6 +1449,7 @@ def _execute_bwd_pallas(
         jnp.argmax(tokens_rev != 0, axis=1).astype(jnp.int32),
         stem_feats,
         g_final.astype(f32),
+        *([otraj, atraj] if no_replay else []),
         banks["w3"], banks["b3"], banks["w1"], banks["b1"],
         banks["same_wf"], banks["same_wa"], banks["same_b"],
         banks["wcmp"], banks["bcmp"],
@@ -1163,18 +1476,35 @@ def _execute_diff(interpret, banks, tables, stem_feats, programs):
                                    interpret=interpret)
 
 
+# Round-4 default: the training forward streams the register/activation
+# trajectories to HBM as residuals, so the backward kernel skips its replay
+# phase (~one full forward of recompute per backward; the residual reads
+# overlap the reverse sweep's compute). PROBNMN_NMN_REPLAY_BWD=1 forces the
+# round-3 replay-and-reverse backward (no residual memory; both paths are
+# gradient-tested against each other and the XLA machine).
+_REPLAY_BWD = os.environ.get("PROBNMN_NMN_REPLAY_BWD", "") == "1"
+
+
 def _execute_diff_fwd(interpret, banks, tables, stem_feats, programs):
-    final, invalid = execute_programs_pallas(
-        banks, tables, None, stem_feats, programs, interpret=interpret
-    )
-    return (final, invalid), (banks, tables, stem_feats, programs, invalid)
+    if _REPLAY_BWD:
+        final, invalid = execute_programs_pallas(
+            banks, tables, None, stem_feats, programs, interpret=interpret
+        )
+        otraj = atraj = None
+    else:
+        final, invalid, otraj, atraj = _execute_train_fwd_pallas(
+            banks, tables, stem_feats, programs, interpret=interpret
+        )
+    return (final, invalid), (banks, tables, stem_feats, programs, invalid,
+                              otraj, atraj)
 
 
 def _execute_diff_bwd(interpret, residuals, cotangents):
-    banks, tables, stem_feats, programs, invalid = residuals
+    banks, tables, stem_feats, programs, invalid, otraj, atraj = residuals
     g_final, _g_invalid = cotangents  # invalid is boolean: float0 cotangent
     d_banks, d_stem = _execute_bwd_pallas(
-        banks, tables, stem_feats, programs, invalid, g_final, interpret=interpret
+        banks, tables, stem_feats, programs, invalid, g_final,
+        interpret=interpret, otraj=otraj, atraj=atraj,
     )
     d_tables = jax.tree_util.tree_map(
         lambda v: np.zeros(v.shape, dtype=jax.dtypes.float0), tables

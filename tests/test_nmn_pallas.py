@@ -112,6 +112,53 @@ def test_pallas_interpreter_gradients_match_xla_machine(setup):
         )
 
 
+def test_noreplay_backward_bit_exact_vs_replay(setup):
+    """The round-4 residual-trajectory backward (training forward streams the
+    register/activation trajectories; backward skips replay) is BIT-EXACT
+    against the round-3 replay-and-reverse backward — same quantization
+    points by construction — over programs covering all module kinds,
+    invalid paths, and an all-pad row."""
+    from probnmn_tpu.ops.pallas import nmn_interpreter as ni
+
+    vocab, spec, params = setup
+    programs = np.asarray(_programs(vocab, PROGRAM_CASES))
+    programs[0] = 0  # an all-pad row
+    programs = jnp.asarray(programs)
+    rs = np.random.RandomState(11)
+    B = programs.shape[0]
+    feats = jnp.asarray(
+        rs.randn(B, spec.height, spec.width, spec.feature_channels).astype(np.float32)
+    )
+    stem = nmn.apply_stem(params["stem"], feats)
+    banks, tables = build_kernel_tables(params, spec, dtype=jnp.float32)
+
+    # Training forward (with residual outputs) == inference forward.
+    f_inf, inv_inf = execute_programs_pallas(
+        banks, tables, spec, stem, programs, interpret=True
+    )
+    f_tr, inv_tr, otraj, atraj = ni._execute_train_fwd_pallas(
+        banks, tables, stem, programs, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(inv_inf), np.asarray(inv_tr))
+    np.testing.assert_array_equal(np.asarray(f_inf), np.asarray(f_tr))
+
+    # Both backward modes, driven directly through _execute_bwd_pallas.
+    g_final = jnp.asarray(rs.randn(*f_inf.shape).astype(np.float32))
+    d_banks_old, d_stem_old = ni._execute_bwd_pallas(
+        banks, tables, stem, programs, inv_inf, g_final, interpret=True
+    )
+    d_banks_new, d_stem_new = ni._execute_bwd_pallas(
+        banks, tables, stem, programs, inv_tr, g_final, interpret=True,
+        otraj=otraj, atraj=atraj,
+    )
+    np.testing.assert_array_equal(np.asarray(d_stem_old), np.asarray(d_stem_new))
+    for key in d_banks_old:
+        np.testing.assert_array_equal(
+            np.asarray(d_banks_old[key]), np.asarray(d_banks_new[key]),
+            err_msg=key,
+        )
+
+
 def test_pallas_gradient_fuzz_random_programs(setup):
     """Property fuzz: random token soups (valid and invalid mixes) keep the
     Pallas VJP identical to the XLA machine's gradients."""
