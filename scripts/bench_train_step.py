@@ -92,11 +92,13 @@ def build_checkpoints(root: str, vocab, config: Config) -> None:
     save_objects(os.path.join(root, "module_training.ckpt"), {"nmn": nmn})
 
 
-def make_config(root: str, phase: str, batch_size: int) -> Config:
+def make_config(root: str, phase: str, batch_size: int,
+                mu_dtype: str = "float32") -> Config:
     return Config(
         None,
         [
             "PHASE", phase,
+            "OPTIM.ADAM_MU_DTYPE", mu_dtype,
             "DATA.VOCABULARY", os.path.join(root, "vocab"),
             "DATA.TRAIN_TOKENS", os.path.join(root, "train_tokens.h5"),
             "DATA.TRAIN_FEATURES", os.path.join(root, "train_features.h5"),
@@ -179,6 +181,10 @@ def main():
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--serialization-dir", default=None)
     parser.add_argument(
+        "--mu-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="OPTIM.ADAM_MU_DTYPE for the step (bf16 first-moment lever).",
+    )
+    parser.add_argument(
         "--regime", default="random", choices=["random", "converged"],
         help="random: z is whatever the (untrained) PG samples — mostly "
         "invalid programs, cheap via the interpreter's early-abort. "
@@ -192,7 +198,7 @@ def main():
     root = args.serialization_dir or tempfile.mkdtemp(prefix="bench_train_")
     os.makedirs(root, exist_ok=True)
     vocab = make_clevr_like_vocabulary()
-    config = make_config(root, args.phase, args.batch_size)
+    config = make_config(root, args.phase, args.batch_size, args.mu_dtype)
     if not os.path.exists(os.path.join(root, "train_tokens.h5")):
         build_data(root, vocab)
         build_checkpoints(root, vocab, config)
@@ -250,6 +256,9 @@ def main():
                 "phase": args.phase,
                 "batch_size": args.batch_size,
                 "regime": args.regime,
+                "mu_dtype": args.mu_dtype,
+                "nmn_bwd": "replay" if os.environ.get(
+                    "PROBNMN_NMN_REPLAY_BWD") == "1" else "residual",
                 "ms_per_step": round(1e3 * sec, 2),
                 "examples_per_sec": round(args.batch_size / sec, 1),
             }
