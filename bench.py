@@ -26,10 +26,43 @@ fold-in) so XLA cannot hoist it. Prints exactly one JSON line.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tunnel_alive(timeout_s: int = 240) -> bool:
+    r"""Probe TPU backend liveness in a subprocess before importing jax here.
+
+    The axon tunnel's failure mode is a HANG inside ``make_c_api_client``
+    (observed for 6+ hours straight in round 4) — without this guard the
+    benchmark would hang instead of reporting. A subprocess with a
+    faulthandler watchdog turns the hang into a clean boolean."""
+    code = (
+        "import faulthandler; faulthandler.dump_traceback_later(%d, exit=True)\n"
+        "import jax\n"
+        "assert jax.devices()[0].platform != 'cpu'\n"
+        "print('TUNNEL_OK')" % max(timeout_s - 20, 30)
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           timeout=timeout_s, text=True)
+        return "TUNNEL_OK" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+if not _tunnel_alive():
+    print(json.dumps({
+        "metric": "inference_throughput", "value": 0.0, "unit": "questions/sec",
+        "vs_baseline": 0.0,
+        "error": "TPU tunnel unreachable (jax backend init hung/failed); "
+                 "no measurement possible this run — see PERF.md "
+                 "'Environment artifact' and the round-4 section",
+    }))
+    sys.exit(1)
 
 import jax
 import jax.numpy as jnp
