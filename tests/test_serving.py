@@ -153,6 +153,8 @@ def test_dispatcher_survives_malformed_request(engine_setup):
     valid = {s["vocab"].get_token_from_index(i, "answers")
              for i in range(s["vocab"].get_vocab_size("answers"))}
     assert answer in valid
+    # Failed batches must still drain the request-level backlog counter.
+    assert engine.stats()["queue_depth"] == 0
 
 
 def test_micro_batching_dispatcher(engine_setup):
