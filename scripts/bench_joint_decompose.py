@@ -82,6 +82,9 @@ def chain(body, m):
 def main(args):
     if args.m_hi <= args.m_lo:
         parser.error(f"--m-hi ({args.m_hi}) must exceed --m-lo ({args.m_lo})")
+    from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     vocab = make_clevr_like_vocabulary()
     config = Config(None, [])
     B = args.batch_size

@@ -164,6 +164,9 @@ def drive_load_measured(engine, args, question, image, rate: float):
 
 
 def main(args):
+    from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     engine = build_engine(args)
     rs = np.random.RandomState(0)
     question = rs.randint(4, 90, (args.question_length,)).astype(np.int64)

@@ -195,6 +195,12 @@ def main():
     )
     args = parser.parse_args()
 
+    # Persistent XLA cache: the joint graph compiles in 3-10 min cold; repeat
+    # bench runs (regime/mu-dtype sweeps) should pay that once per signature.
+    from probnmn_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     root = args.serialization_dir or tempfile.mkdtemp(prefix="bench_train_")
     os.makedirs(root, exist_ok=True)
     vocab = make_clevr_like_vocabulary()
