@@ -5,9 +5,11 @@ The reference has no serving layer — its closest surface is
 ``scripts/inference.py`` (reference ``inference.py:74-95``), a batch script.
 This module packages that pipeline as a long-lived engine for deployment:
 
-- **One compiled executable.** The engine pads every request batch to a fixed
-  ``batch_size`` and un-pads the answers, so a single jitted pipeline serves
-  all request sizes (static shapes are what keep XLA/Mosaic fast — recompiling
+- **A fixed set of compiled executables.** The engine pads every request
+  batch to a compiled size — the full ``batch_size`` on the sync
+  :meth:`predict` path, the smallest covering *bucket* on the dispatcher
+  path — and un-pads the answers, so a handful of jitted pipelines serve all
+  request sizes (static shapes are what keep XLA/Mosaic fast — recompiling
   per request size would stall the service). The pipeline is the production
   path: fused Pallas sampling kernel + fused Pallas NMN interpreter on
   supported TPUs (v4+), the XLA scan/register-machine paths elsewhere —
@@ -20,6 +22,14 @@ This module packages that pipeline as a long-lived engine for deployment:
   queued requests up to ``batch_size`` or a max-latency deadline and runs them
   as one device batch — the standard continuous-batching pattern for small
   per-request payloads on accelerators.
+- **Bucketed micro-batches.** The dispatcher pads each coalesced group to the
+  smallest compiled *bucket* (a short ladder ``batch_size // 4**k``, e.g.
+  4/16/64/256) rather than always to the full batch: at low offered load a
+  lone request pays a 4-wide upload + pipeline instead of a 256-wide one —
+  up to ``batch_size/bucket``× less host->device traffic and device compute
+  per micro-batch. Buckets compile lazily on first use (or eagerly via
+  :meth:`warmup`); the sync :meth:`predict` keeps the original
+  single-executable fixed-batch contract.
 - **Half-width feature uploads.** Feature batches cross host->device in the
   NMN compute dtype (bf16 on fused-kernel TPUs) — numerically identical to
   the on-device cast the pipeline performs anyway, at half the transfer
@@ -172,6 +182,21 @@ class InferenceEngine:
 
         self._pipeline = jax.jit(pipeline_fn)
 
+        # Bucket ladder for the dispatcher path: batch_size // 4**k, kept
+        # divisible by the mesh's data axis (shard_map needs equal shards).
+        # The sync predict() contract stays at the full batch; only the
+        # request path right-sizes its micro-batches.
+        mesh_step = self._mesh.devices.size if self._mesh is not None else 1
+        buckets = []
+        b = batch_size
+        while b >= 1:
+            if b % mesh_step == 0:
+                buckets.append(b)
+            if b // 4 < 1:
+                break
+            b //= 4
+        self._buckets = sorted(set(buckets))
+
         # Micro-batching state.
         self._queue: Queue = Queue()
         self._dispatcher: Optional[threading.Thread] = None
@@ -268,10 +293,24 @@ class InferenceEngine:
                 ))
             return out
 
+        return self._run_padded(questions, images, rng, self._batch_size)
+
+    def _run_padded(
+        self,
+        questions: np.ndarray,
+        images: np.ndarray,
+        rng: Optional[jax.Array],
+        pad_to: int,
+    ) -> List[str]:
+        r"""Pad ``n <= pad_to`` requests to ``pad_to`` rows, run the compiled
+        pipeline (one executable per distinct ``pad_to``), unpad and
+        detokenize. ``predict`` always passes the full batch; the dispatcher
+        passes the smallest bucket covering its coalesced group."""
+        n = questions.shape[0]
         if rng is None:
             with self._lock:
                 self._rng, rng = jax.random.split(self._rng)
-        pad = self._batch_size - n
+        pad = pad_to - n
         q = np.pad(questions, ((0, pad), (0, 0)))
         im = np.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
         q_dev = jax.device_put(jnp.asarray(q), self._batch_sharding)
@@ -288,6 +327,35 @@ class InferenceEngine:
             self._vocabulary.get_token_from_index(int(a), "answers")
             for a in answers
         ]
+
+    def bucket_for(self, n: int) -> int:
+        r"""Smallest compiled micro-batch bucket covering ``n`` requests."""
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._batch_size
+
+    def warmup(self, question_length: Optional[int] = None) -> None:
+        r"""Eagerly compile the pipeline at every bucket size (and the full
+        batch) so no live request ever pays a compile. ``question_length``
+        must match the callers' padded question width (the reference's
+        fixed 45, :data:`probnmn_tpu.utils.clevr.MAX_QUESTION_LENGTH`, by
+        default). With a persistent ``compilation_cache_dir`` this is a
+        cache read after the first ever start."""
+        if question_length is None:
+            from probnmn_tpu.utils.clevr import MAX_QUESTION_LENGTH
+
+            question_length = MAX_QUESTION_LENGTH
+        spec = self._nmn_spec
+        for b in self._buckets:
+            self._run_padded(
+                np.zeros((1, question_length), np.int64),
+                np.zeros(
+                    (1, spec.feature_channels, spec.height, spec.width),
+                    np.float32,
+                ),
+                None, b,
+            )
 
     # ------------------------------------------------------------ micro-batch
     def start(self, max_batch_delay: float = 0.005) -> None:
@@ -337,7 +405,16 @@ class InferenceEngine:
                 try:
                     questions = np.concatenate([p[0] for p in pending])
                     images = np.concatenate([p[1] for p in pending])
-                    answers = self.predict(questions, images)
+                    # Pad to the smallest compiled bucket covering the group,
+                    # not the full batch: at low load this cuts the padded
+                    # upload + device compute by batch_size/bucket (the
+                    # request path's latency floor).
+                    answers = (
+                        self._run_padded(
+                            questions, images, None, self.bucket_for(total)
+                        )
+                        if total else []
+                    )
                 except BaseException as e:
                     for p in pending:
                         for fut in p[2]:

@@ -172,8 +172,9 @@ def main(args):
     question = rs.randint(4, 90, (args.question_length,)).astype(np.int64)
     image = rs.randn(args.feature_channels, 14, 14).astype(np.float32)
 
-    # Warm the compiled pipeline before any timing.
-    engine.predict(question[None], image[None])
+    # Warm EVERY bucket's executable before any timing (a live compile inside
+    # the measured window would dominate every percentile).
+    engine.warmup(question_length=args.question_length)
     engine.start(max_batch_delay=args.max_batch_delay)
 
     capacity = measure_capacity(engine, args, question, image)

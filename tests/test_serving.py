@@ -321,3 +321,46 @@ def test_dispatcher_never_overshoots_compiled_batch(engine_setup):
     # 2 cycles => exactly 2 device batches (plus the compare predict's 1).
     assert engine.stats()["batches"] - batches_before <= 3
     assert engine.stats()["queue_depth"] == 0
+
+
+def test_dispatcher_bucketed_micro_batches(engine_setup):
+    """The dispatcher pads each coalesced group to the smallest compiled
+    bucket (batch_size // 4**k), not the full batch: a lone request against
+    batch 8 pays 1 pad slot (bucket 2), not 7 — the low-load latency/upload
+    win. Greedy decode is row-wise deterministic, so bucket padding must not
+    change any real row's answer."""
+    s = engine_setup
+    engine = InferenceEngine.from_checkpoint(
+        s["config"], s["ckpt"], batch_size=8, compute_dtype="float32",
+        decoding="greedy",
+    )
+    assert engine._buckets == [2, 8]
+    assert [engine.bucket_for(n) for n in (1, 2, 3, 8, 9)] == [2, 2, 8, 8, 8]
+
+    # warmup compiles every bucket eagerly (one device batch per bucket).
+    before = engine.stats()
+    engine.warmup(question_length=s["questions"].shape[1])
+    after = engine.stats()
+    assert after["batches"] - before["batches"] == len(engine._buckets)
+
+    pads_before = engine.stats()["padded_slots"]
+    engine.start(max_batch_delay=0.01)
+    try:
+        fut = engine.submit(s["questions"][0], s["images"][0])
+        answer = fut.result(timeout=60)
+    finally:
+        engine.stop()
+    assert engine.stats()["padded_slots"] - pads_before == 1  # bucket 2, not 8
+    assert answer == engine.predict(s["questions"][:1], s["images"][:1])[0]
+
+
+def test_mesh_engine_buckets_respect_data_axis(engine_setup):
+    """Bucket sizes must stay divisible by the mesh's data axis (shard_map
+    needs equal shards): an 8-device mesh over batch 8 admits only the full
+    batch as a bucket."""
+    s = engine_setup
+    mesh_engine = InferenceEngine(
+        s["vocab"], s["pg_spec"], s["nmn_spec"], s["pg_params"], s["nmn_params"],
+        batch_size=8, num_devices=8,
+    )
+    assert mesh_engine._buckets == [8]
