@@ -183,16 +183,24 @@ class InferenceEngine:
         self._pipeline = jax.jit(pipeline_fn)
 
         # Bucket ladder for the dispatcher path: batch_size // 4**k, kept
-        # divisible by the mesh's data axis (shard_map needs equal shards).
-        # The sync predict() contract stays at the full batch; only the
-        # request path right-sizes its micro-batches.
-        mesh_step = self._mesh.devices.size if self._mesh is not None else 1
+        # divisible by the mesh's DATA axis (shard_map shards batches over
+        # 'data' only — the model axis replicates them, so total device count
+        # would over-constrain the ladder and could empty it entirely).
+        # The ladder floors at max(2, mesh_step): a size-1 bucket (which
+        # power-of-4 batch sizes would otherwise produce) buys negligible
+        # latency over the next bucket up while costing one more compiled
+        # executable at warmup. The sync predict() contract stays at the
+        # full batch; only the request path right-sizes its micro-batches.
+        mesh_step = (
+            self._mesh.shape["data"] if self._mesh is not None else 1
+        )
+        bucket_floor = max(2, mesh_step)
         buckets = []
         b = batch_size
-        while b >= 1:
+        while b >= bucket_floor or b == batch_size:
             if b % mesh_step == 0:
                 buckets.append(b)
-            if b // 4 < 1:
+            if b // 4 < bucket_floor:
                 break
             b //= 4
         self._buckets = sorted(set(buckets))
@@ -301,11 +309,14 @@ class InferenceEngine:
         images: np.ndarray,
         rng: Optional[jax.Array],
         pad_to: int,
+        count_stats: bool = True,
     ) -> List[str]:
         r"""Pad ``n <= pad_to`` requests to ``pad_to`` rows, run the compiled
         pipeline (one executable per distinct ``pad_to``), unpad and
         detokenize. ``predict`` always passes the full batch; the dispatcher
-        passes the smallest bucket covering its coalesced group."""
+        passes the smallest bucket covering its coalesced group.
+        ``count_stats=False`` (warmup) keeps synthetic traffic out of the
+        lifetime qps/padded_slots telemetry."""
         n = questions.shape[0]
         if rng is None:
             with self._lock:
@@ -319,10 +330,11 @@ class InferenceEngine:
         )
         answers, _ = self._pipeline(self._pg_params, q_dev, im_dev, rng)
         answers = np.asarray(answers)[:n]
-        with self._lock:
-            self._stats["requests"] += n
-            self._stats["batches"] += 1
-            self._stats["padded_slots"] += pad
+        if count_stats:
+            with self._lock:
+                self._stats["requests"] += n
+                self._stats["batches"] += 1
+                self._stats["padded_slots"] += pad
         return [
             self._vocabulary.get_token_from_index(int(a), "answers")
             for a in answers
@@ -354,7 +366,7 @@ class InferenceEngine:
                     (1, spec.feature_channels, spec.height, spec.width),
                     np.float32,
                 ),
-                None, b,
+                None, b, count_stats=False,
             )
 
     # ------------------------------------------------------------ micro-batch
