@@ -73,6 +73,19 @@ from probnmn_tpu.models.nmn import (
 
 MAX_CHAIN = 5  # relate has 5 3x3 convs; attention/query/compare use 2
 
+# Streamed-residual layout (round 5): the training forward stores only the
+# TWO chain activations the reverse sweep cannot cheaply recompute — acts[1]
+# and acts[2] of the 2-conv chains (attention/query/compare). Everything else
+# is recomputed in the backward from the out-register trajectory: acts[0] is
+# one elementwise product (chains) or two (C,C) dots (compare), and relate's
+# whole 5-conv chain is re-run from its entry register (~2.4 us against the
+# ~5 MB/example of residual HBM traffic that storing its 6 slots cost — at
+# most ~1-2 relate steps occur per CLEVR program). This cut the residual
+# footprint from (T, 6, HW, C) to (T, 2, HW, C): 9.1 -> 3.9 MB/example bf16
+# at CLEVR scale, paid once in the forward (write) and once in the backward
+# (read).
+RESID_SLOTS = 2
+
 
 def _flat_conv_helpers(H, W, C):
     r"""Flat-layout 3x3 conv machinery shared by the forward and backward
@@ -600,7 +613,8 @@ def _interpreter_train_kernel(
     out_ref,         # (1, H, W, C) final encoding
     invalid_ref,     # (1, 8, 128) int32
     otraj_ref,       # (1, T, HW, C) dtype — out register at ENTRY of each step
-    atraj_ref,       # (1, T, MAX_CHAIN+1, HW, C) dtype — chain activations
+    atraj_ref,       # (1, T, RESID_SLOTS, HW, C) dtype — acts[1]/acts[2] of
+                     # 2-conv chain steps (see RESID_SLOTS layout note)
     # scratch
     out_reg, saved_reg, acts, tag_ref,
 ):
@@ -609,7 +623,7 @@ def _interpreter_train_kernel(
     trajectory and chain activations to HBM as residuals. The backward kernel
     then skips its replay phase entirely (``no_replay``): replay re-executed
     the whole program (~one full forward, ~4.3 ms/batch-128 measured round 3),
-    while the residual blocks (~9 MB/example bf16) stream back under the
+    while the residual blocks (~3.9 MB/example bf16, RESID_SLOTS layout) stream back under the
     reverse sweep's compute and are effectively free. Chain layers here go
     through per-layer ``compact`` captures (the same activation quantization
     points as the replay they replace), so gradients are unchanged.
@@ -749,9 +763,15 @@ def _interpreter_train_kernel(
                 attn = jax.nn.sigmoid(head[:, :1])
                 out_reg[...] = jnp.broadcast_to(attn, (HW, C)).astype(dtype)
 
-            # Same capture rule as the replay it replaces: `same` steps store
-            # unused garbage — never read back by the reverse sweep.
-            atraj_ref[0, t] = acts[...].astype(dtype)
+            # Store only the two activations the reverse sweep reads back
+            # (RESID_SLOTS layout note at top): acts[1]/acts[2] of the 2-conv
+            # chains. Relate and same steps store nothing — relate's chain is
+            # recomputed from its entry register in the backward; same never
+            # reads activations.
+            @pl.when((do_chain & (kind != RELATE)) | do_cmp)
+            def _():
+                atraj_ref[0, t, 0] = acts[1].astype(dtype)
+                atraj_ref[0, t, 1] = acts[2].astype(dtype)
 
         return ()
 
@@ -811,7 +831,7 @@ def _execute_train_fwd_pallas(
             pl.BlockSpec((1, H, W, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, HW, C), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, MAX_CHAIN + 1, HW, C),
+            pl.BlockSpec((1, T, RESID_SLOTS, HW, C),
                          lambda b, *_: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -829,7 +849,7 @@ def _execute_train_fwd_pallas(
             jax.ShapeDtypeStruct((B, H, W, C), dtype),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, T, HW, C), dtype),
-            jax.ShapeDtypeStruct((B, T, MAX_CHAIN + 1, HW, C), dtype),
+            jax.ShapeDtypeStruct((B, T, RESID_SLOTS, HW, C), dtype),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -861,7 +881,7 @@ def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
     Tensor inputs:
       x_ref (1, H, W, C) stem features block; gfin_ref (1, H, W, C) f32
       cotangent of the final encoding; [no_replay only: otraj_in
-      (1, T, HW, C) and atraj_in (1, T, MAX_CHAIN+1, HW, C) — the training
+      (1, T, HW, C) and atraj_in (1, T, RESID_SLOTS, HW, C) — the training
       forward's streamed residuals]; then the VMEM-resident weight banks
       w3 (S3, 9C, C), b3 (S3, 8, 128), w1 (S1, C, 8), b1 (S1, 8, 128),
       same_wf (Ss, C, 8), same_wa (Ss, 1) SMEM f32, same_b (Ss, 8, 128),
@@ -893,12 +913,10 @@ def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
          dsb_ref, dwc_ref, dbc_ref,
          lscene_ref, acts, g_out, g_saved, dx_acc) = refs
         reg_out = reg_saved = out_traj = acts_traj = None
+        read_acts = None  # no_replay stages acts per kind (stage_*_acts below)
 
         def read_otraj(t):
             return otraj_in[0, t]
-
-        def read_acts(t):
-            return atraj_in[0, t]
     else:
         (tokens_ref, kind_ref, slot3_ref, head_slot_ref, cmp_slot_ref,
          same_slot_ref, invalid_flags, start_ref,
@@ -1056,6 +1074,44 @@ def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
             z = conv_flat(flat, slot3_ref[tok, l], dils[l], g)
             acts[l + 1] = compact_out(jnp.maximum(z, 0.0), g)
         return L
+
+    # Per-kind staging of the reverse sweep's chain activations into ``acts``
+    # (RESID_SLOTS layout note at top). no_replay: acts[0] is recomputed from
+    # the entry register (one product for chains, the two (C,C) projection
+    # dots for compare), acts[1]/acts[2] stream in as residuals, and relate's
+    # 5-conv chain is recomputed whole (its 6 slots are not stored). replay:
+    # all slots come from the replay phase's capture. The conv dots downstream
+    # cast their inputs back to ``dtype``, so a recomputed-f32 slot and its
+    # stored-bf16 round trip feed the MXU identical operands.
+    def stage_relate_acts(t, tok, out_in):
+        if no_replay:
+            acts[0] = (x * out_in).astype(f32)
+            chain_bwd(tok, (1, 2, 4, 8, 1))
+        else:
+            acts[...] = read_acts(t).astype(f32)
+
+    def stage_chain2_acts(t, tok, out_in):
+        if no_replay:
+            acts[0] = (x * out_in).astype(f32)
+            acts[1] = atraj_in[0, t, 0].astype(f32)
+            acts[2] = atraj_in[0, t, 1].astype(f32)
+        else:
+            acts[...] = read_acts(t).astype(f32)
+
+    def stage_cmp_acts(t, tok, out_in, saved_in):
+        if no_replay:
+            cs = cmp_slot_ref[tok]
+            wc = wcmp_ref[cs]
+            proj = (
+                jnp.dot(out_in, wc[:C], preferred_element_type=f32)
+                + jnp.dot(saved_in, wc[C:], preferred_element_type=f32)
+                + bcmp_ref[cs][0:1, :C].astype(f32)
+            )
+            acts[0] = jnp.maximum(proj, 0.0)
+            acts[1] = atraj_in[0, t, 0].astype(f32)
+            acts[2] = atraj_in[0, t, 1].astype(f32)
+        else:
+            acts[...] = read_acts(t).astype(f32)
 
     # --- per-example body -------------------------------------------------------
     dx_acc[...] = jnp.zeros_like(dx_acc)
@@ -1228,7 +1284,7 @@ def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
 
                 @pl.when(is_chain & (kind == RELATE))
                 def _():
-                    acts[...] = read_acts(t).astype(f32)  # captured chain
+                    stage_relate_acts(t, tok, out_in)
                     hs = head_slot_ref[tok]
                     attn = head_recompute(acts[5], hs)
                     g_a = head_bwd(acts[5], hs, attn, go)
@@ -1242,7 +1298,7 @@ def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
 
                 @pl.when(is_chain & (kind != RELATE))
                 def _():
-                    acts[...] = read_acts(t).astype(f32)  # captured chain
+                    stage_chain2_acts(t, tok, out_in)
 
                     @pl.when(has_head)
                     def _():
@@ -1271,7 +1327,7 @@ def _interpreter_bwd_kernel(*refs, no_replay: bool = False):
                     cs = cmp_slot_ref[tok]
                     wc = wcmp_ref[cs]
                     saved_in = load_saved_in()
-                    acts[...] = read_acts(t).astype(f32)  # captured chain
+                    stage_cmp_acts(t, tok, out_in, saved_in)
                     g_a = go
                     for l in (1, 0):
                         g_a = conv_layer_bwd(
@@ -1371,7 +1427,7 @@ def _execute_bwd_pallas(
     traj_in_specs = [
         pl.BlockSpec((1, T, HW, C), lambda b, *_: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, MAX_CHAIN + 1, HW, C),
+        pl.BlockSpec((1, T, RESID_SLOTS, HW, C),
                      lambda b, *_: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
     ] if no_replay else []
     replay_scratch = [] if no_replay else [

@@ -187,6 +187,27 @@ def main(args):
     measure("interpreter_fwd", lambda m: chain(interp_fwd, m), (stem_feats, programs))
     measure("interpreter_fwd_bwd", lambda m: chain(interp_bwd, m), (stem_feats, programs))
 
+    if use_fast:
+        # The TRAINING forward (residual-streaming, what jax.grad actually runs
+        # as the VJP's fwd) is a different kernel from the inference forward
+        # measured above — its residual writes are the HBM-traffic component
+        # the round-5 atraj-trimming work targets. Measuring it alone splits
+        # interpreter_fwd_bwd into its fwd and bwd kernels.
+        from probnmn_tpu.ops.pallas.nmn_interpreter import (
+            _execute_train_fwd_pallas,
+        )
+
+        def interp_train_fwd(i, acc, sf, pr):
+            final, invalid, otraj, atraj = _execute_train_fwd_pallas(
+                banks, tables, perturb(sf, i, acc), pr
+            )
+            # Touch the residuals so they cannot be dead-code-eliminated.
+            return (final.sum() + otraj[:, 0].sum() + atraj[:, 0, 0].sum()
+                    ).astype(jnp.float32)
+
+        measure("interpreter_train_fwd", lambda m: chain(interp_train_fwd, m),
+                (stem_feats, programs))
+
     # ---- classifier
     def cls_loss(p, x, ans):
         logits = nmn_lib.apply_classifier(p, x).astype(jnp.float32)
