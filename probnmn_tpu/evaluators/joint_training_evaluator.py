@@ -22,7 +22,18 @@ from probnmn_tpu.evaluators.question_coding_evaluator import _Seq2SeqMetrics
 
 
 class JointTrainingEvaluator(_Evaluator):
-    def __init__(self, config: Config, trainer, in_memory_features: bool = True):
+    r"""``program_decode="tf_greedy"`` (default) matches the reference's
+    evaluator (per-step argmax under teacher forcing,
+    reference ``joint_training_evaluator.py:98-100``); ``"free_greedy"``
+    additionally decodes programs free-running greedy from the question alone
+    (the inference condition) and feeds THOSE to the NMN — the PG's seq2seq
+    metrics stay teacher-forced either way so they remain comparable."""
+
+    def __init__(self, config: Config, trainer, in_memory_features: bool = True,
+                 program_decode: str = "tf_greedy"):
+        if program_decode not in ("tf_greedy", "free_greedy"):
+            raise ValueError(f"unknown program_decode: {program_decode!r}")
+        self._free_decode = program_decode == "free_greedy"
         dataset = JointTrainingDataset(
             config.DATA.VAL_TOKENS,
             config.DATA.VAL_FEATURES,
@@ -48,6 +59,15 @@ class JointTrainingEvaluator(_Evaluator):
         )
         self._fast_tables = None
 
+        free = self._free_decode
+
+        def nmn_programs(pg_params, batch, pg_out):
+            if not free:
+                return pg_out["predictions"]
+            return seq2seq_forward(
+                pg_params, self._pg_spec, batch["question"], None, "greedy"
+            )["predictions"]
+
         def eval_step(params, batch):
             pg_out = seq2seq_forward(
                 params["program_generator"], self._pg_spec,
@@ -55,7 +75,8 @@ class JointTrainingEvaluator(_Evaluator):
             )
             nmn_out = nmn_lib.nmn_forward(
                 params["nmn"], self._nmn_spec, image_to_nhwc(batch["image"]),
-                pg_out["predictions"], batch["answer"],
+                nmn_programs(params["program_generator"], batch, pg_out),
+                batch["answer"],
             )
             return pg_out, nmn_out
 
@@ -69,7 +90,8 @@ class JointTrainingEvaluator(_Evaluator):
             )
             nmn_out = nmn_lib.fast_forward_from_tables(
                 banks, tables, self._nmn_spec, stem_p, cls_p,
-                image_to_nhwc(batch["image"]), pg_out["predictions"], batch["answer"],
+                image_to_nhwc(batch["image"]),
+                nmn_programs(pg_params, batch, pg_out), batch["answer"],
                 mesh=mesh,
             )
             return pg_out, nmn_out

@@ -25,7 +25,20 @@ from probnmn_tpu.utils.metrics import Average, BooleanAccuracy
 
 
 class ModuleTrainingEvaluator(_Evaluator):
-    def __init__(self, config: Config, trainer, in_memory_features: bool = True):
+    r"""``program_decode`` selects how programs are decoded for the NMN:
+    ``"tf_greedy"`` (default) is the reference's evaluator semantics — per-step
+    argmax under teacher forcing against the GT program (reference
+    ``module_training_evaluator.py:103-105`` passes ``batch["program"]`` with
+    ``decoding_strategy="greedy"``); ``"free_greedy"`` decodes free-running
+    greedy from the question alone — the actual inference condition
+    (``scripts/inference.py``), reported as a separate metric column so model
+    quality is separable from decode assistance."""
+
+    def __init__(self, config: Config, trainer, in_memory_features: bool = True,
+                 program_decode: str = "tf_greedy"):
+        if program_decode not in ("tf_greedy", "free_greedy"):
+            raise ValueError(f"unknown program_decode: {program_decode!r}")
+        self._free_decode = program_decode == "free_greedy"
         dataset = ModuleTrainingDataset(
             config.DATA.VAL_TOKENS, config.DATA.VAL_FEATURES, in_memory=in_memory_features
         )
@@ -59,10 +72,16 @@ class ModuleTrainingEvaluator(_Evaluator):
         )
         self._fast_tables = None
 
-        def eval_step(nmn_params, pg_params, batch):
-            pg_out = seq2seq_forward(
-                pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
+        free = self._free_decode
+
+        def decode_programs(pg_params, batch):
+            return seq2seq_forward(
+                pg_params, self._pg_spec, batch["question"],
+                None if free else batch["program"], "greedy",
             )
+
+        def eval_step(nmn_params, pg_params, batch):
+            pg_out = decode_programs(pg_params, batch)
             nmn_out = nmn_lib.nmn_forward(
                 nmn_params, self._nmn_spec, image_to_nhwc(batch["image"]),
                 pg_out["predictions"], batch["answer"],
@@ -74,9 +93,7 @@ class ModuleTrainingEvaluator(_Evaluator):
         mesh = getattr(trainer, "mesh", None)
 
         def fast_step(banks, tables, stem_p, cls_p, pg_params, batch):
-            pg_out = seq2seq_forward(
-                pg_params, self._pg_spec, batch["question"], batch["program"], "greedy"
-            )
+            pg_out = decode_programs(pg_params, batch)
             return nmn_lib.fast_forward_from_tables(
                 banks, tables, self._nmn_spec, stem_p, cls_p,
                 image_to_nhwc(batch["image"]), pg_out["predictions"], batch["answer"],
