@@ -15,6 +15,8 @@ Stages (in order; each is a subprocess so backends don't leak between them):
   decompose        bench_joint_decompose (per-component slopes)
   serving_latency  bench_serving_latency (p50/p95/p99 under offered load)
   beam             bench_beam (beam decode cost vs greedy/sampling)
+  dot_packing      bench_dot_packing (conv formulation roofline: ninedot/
+                   bigdot/twopack at production geometry)
   multichip        __graft_entry__.dryrun_multichip on an 8-device CPU mesh
   h5_stream        bench_h5_stream (multi-GB streaming through the trainer, CPU)
 
@@ -52,6 +54,7 @@ STAGES = [
     ("decompose", [PY, "scripts/bench_joint_decompose.py"], {}),
     ("serving_latency", [PY, "scripts/bench_serving_latency.py"], {}),
     ("beam", [PY, "scripts/bench_beam.py"], {}),
+    ("dot_packing", [PY, "scripts/bench_dot_packing.py"], {}),
     ("multichip",
      [PY, "-c",
       "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8); "

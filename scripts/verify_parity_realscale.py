@@ -166,8 +166,19 @@ def main(args):
         logger.error("verify_parity returned %d", status)
         return status
 
+    import jax
+
+    from probnmn_tpu.ops.common import tpu_fused_kernels_supported
+
+    device = jax.devices()[0]
     report = json.load(open(report_path))
     artifact = {
+        "backend": {
+            "platform": device.platform,
+            "device_kind": device.device_kind,
+            "fused_pallas_path": bool(tpu_fused_kernels_supported()),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        },
         "shapes": {
             "batch_size": args.batch_size,
             "lstm": "256d x 2 layers",
