@@ -46,9 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 from probnmn_tpu.ops.pallas.nmn_interpreter import _flat_conv_helpers
 
 parser = argparse.ArgumentParser(description="3x3-conv dot-packing experiment.")
-parser.add_argument("--m-lo", type=int, default=256)
-parser.add_argument("--m-hi", type=int, default=1024)
-parser.add_argument("--reps", type=int, default=7)
+parser.add_argument("--m-lo", type=int, default=1024)
+parser.add_argument("--m-hi", type=int, default=8192)
+parser.add_argument("--reps", type=int, default=11)
 parser.add_argument("--slots", type=int, default=16)
 parser.add_argument("--channels", type=int, default=128)
 parser.add_argument("--interpret", action="store_true")
@@ -68,9 +68,13 @@ def make_kernel(variant: str, m: int, C: int, S: int):
         ky, kx = divmod(k, 3)
         return base + (ky - 1) * pitch + (kx - 1)
 
-    def kernel(x_ref, w_ref, o_ref, acc):
+    def kernel(x_ref, w_ref, o_ref, acc, patches_ref=None):
         r"""x_ref (P, flat, C) bf16 flat images (P=2 for twopack else 1);
-        w_ref (S, 9C, C) bf16 weight bank; o_ref (8, 128) f32 checksum."""
+        w_ref (S, 9C, C) bf16 weight bank; o_ref (8, 128) f32 checksum;
+        patches_ref (sl, 9C) bf16 scratch (bigdot only) — the im2col operand is
+        materialized through a VMEM ref because Mosaic cannot lane-concat
+        vectors whose sublane offsets differ (the 9 tap slices start at 9
+        different rows of the flat value)."""
         fh = _flat_conv_helpers(H, W, C)
         g = fh["G1"]
         acc[...] = jnp.zeros_like(acc)
@@ -102,14 +106,13 @@ def make_kernel(variant: str, m: int, C: int, S: int):
                 if variant == "ninedot":
                     tot = fh["conv"](flat_v, w_ref, slot, 1, g)
                 else:  # bigdot: one (sl, 9C) x (9C, C) dot
-                    patches = jnp.concatenate(
-                        [flat_v[tap_start(k):tap_start(k) + sl, :]
-                         for k in range(9)], axis=1,
-                    )  # (sl, 9C) lane-concat — the im2col materialization
+                    for k in range(9):
+                        s = tap_start(k)
+                        patches_ref[:, k * C:(k + 1) * C] = flat_v[s:s + sl, :]
                     tot = jax.lax.dot(
-                        patches, w_ref[slot],
+                        patches_ref[...], w_ref[slot],
                         preferred_element_type=jnp.float32,
-                    )
+                    )  # (sl, 9C) x (9C, C) — im2col via scratch stores
                 new = jnp.tanh(tot * 0.25)
             return new
 
@@ -130,6 +133,9 @@ def make_kernel(variant: str, m: int, C: int, S: int):
 
 def build_fn(variant: str, m: int, C: int, S: int, interpret: bool):
     kernel, P, flat, sl = make_kernel(variant, m, C, S)
+    scratch = [pltpu.VMEM((8, 128), jnp.float32)]
+    if variant == "bigdot":
+        scratch.append(pltpu.VMEM((sl, 9 * C), jnp.bfloat16))
 
     @jax.jit
     def fn(x, w):
@@ -144,7 +150,7 @@ def build_fn(variant: str, m: int, C: int, S: int, interpret: bool):
             out_specs=pl.BlockSpec((8, 128), lambda b: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(x, w)
 
@@ -157,12 +163,18 @@ def main(args):
     results = {}
     for variant in ("ninedot", "bigdot", "twopack"):
         fns = {}
-        for m in (args.m_lo, args.m_hi):
-            fn, P, flat = build_fn(variant, m, C, S, args.interpret)
-            x = jnp.asarray(rs.randn(P, flat, C) * 0.1, jnp.bfloat16)
-            w = jnp.asarray(rs.randn(S, 9 * C, C) * 0.05, jnp.bfloat16)
-            fns[m] = (fn, x, w)
-            float(np.asarray(fn(x, w)).ravel()[0])  # compile + warm
+        try:
+            for m in (args.m_lo, args.m_hi):
+                fn, P, flat = build_fn(variant, m, C, S, args.interpret)
+                x = jnp.asarray(rs.randn(P, flat, C) * 0.1, jnp.bfloat16)
+                w = jnp.asarray(rs.randn(S, 9 * C, C) * 0.05, jnp.bfloat16)
+                fns[m] = (fn, x, w)
+                float(np.asarray(fn(x, w)).ravel()[0])  # compile + warm
+        except Exception as e:  # one variant failing to lower is itself data
+            results[variant] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps({"variant": variant,
+                              "error": results[variant]["error"]}), flush=True)
+            continue
 
         def median_time(m):
             fn, x, w = fns[m]

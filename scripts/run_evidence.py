@@ -54,7 +54,11 @@ STAGES = [
     ("decompose", [PY, "scripts/bench_joint_decompose.py"], {}),
     ("serving_latency", [PY, "scripts/bench_serving_latency.py"], {}),
     ("beam", [PY, "scripts/bench_beam.py"], {}),
-    ("dot_packing", [PY, "scripts/bench_dot_packing.py"], {}),
+    ("dot_packing",
+     [PY, "scripts/bench_dot_packing.py",
+      # Chain-length gap must be >>tunnel jitter: 61440 convs x ~0.5 us
+      # => ~30-50 ms slope signal vs the ~1-3 ms RTT noise floor.
+      "--m-lo", "4096", "--m-hi", "65536", "--reps", "15"], {}),
     ("multichip",
      [PY, "-c",
       "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8); "
