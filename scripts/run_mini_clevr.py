@@ -78,6 +78,12 @@ parser.add_argument("--geometry", choices=["production", "small", "tiny"],
 parser.add_argument("--grid", type=int, default=14,
                     help="Feature-grid side (14 = production CLEVR geometry; "
                     "8 keeps a CPU fallback run tractable).")
+parser.add_argument("--hparam", nargs=2, action="append", default=[],
+                    metavar=("KEY", "VALUE"),
+                    help="Extra dotted config override applied to EVERY phase "
+                    "run, after the per-phase table (e.g. --hparam ALPHA 500 "
+                    "to strengthen the QC supervision anchor at production "
+                    "capacity). Recorded in the report's command line.")
 parser.add_argument("--max-batch", type=int, default=0,
                     help="Cap every phase's batch size (0 = no cap); for "
                     "CPU fallback runs.")
@@ -199,6 +205,14 @@ def phase_config(args, phase: str, num_iterations: int) -> Config:
                       "NMN.CLASSIFIER_LINEAR_SIZE", geom["linear"]]
     if args.nmn_channels:
         overrides += ["NMN.MODULE_CHANNELS", args.nmn_channels]
+    for key, value in args.hparam:
+        for cast in (int, float):
+            try:
+                value = cast(value)
+                break
+            except ValueError:
+                continue
+        overrides += [key, value]
     return Config(None, overrides)
 
 
@@ -300,6 +314,8 @@ def write_report(args, results) -> None:
         cmd.append(f"--nmn-channels {args.nmn_channels}")
     if args.resume_split_phase:
         cmd.append(f"--resume-split-phase {args.resume_split_phase}")
+    for key, value in args.hparam:
+        cmd.append(f"--hparam {key} {value}")
     import jax
 
     device = jax.devices()[0]
@@ -358,7 +374,9 @@ def main(args):
         args.compilation_cache_dir = ""  # already enabled process-wide
     make_dataset(args)
 
-    phases = args.phases or PHASE_ORDER
+    # "--phases none": train nothing; re-evaluate every phase's existing best
+    # and write the full report (the final-artifact pass after partial runs).
+    phases = [] if args.phases == ["none"] else (args.phases or PHASE_ORDER)
     iters = dict(zip(PHASE_ORDER, args.iters))
     results = {}
     for phase in PHASE_ORDER:
