@@ -176,3 +176,27 @@ def test_write_mini_clevr_flows_through_production_datasets(tmp_path):
                 for i in row if i != 0]
         assert toks[-1] == "scene"
         assert vocab.get_token_from_index(int(ans_id), "answers") != "@@UNKNOWN@@"
+
+
+def test_run_mini_clevr_hparam_overrides_apply_last(tmp_path):
+    """--hparam KEY VALUE lands after the per-phase table (run_mini_clevr.py
+    phase_config), so production recipe adaptations like ALPHA=500 stick."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import run_mini_clevr as rmc
+
+    args = rmc.parser.parse_args([
+        "--root", str(tmp_path / "data"), "--runs", str(tmp_path / "runs"),
+        "--hparam", "ALPHA", "500.0",
+        "--hparam", "OPTIM.LR_INITIAL", "0.0005",
+    ])
+    config = rmc.phase_config(args, "question_coding", 100)
+    assert config.ALPHA == 500.0          # per-phase table says 100.0
+    assert config.OPTIM.LR_INITIAL == 0.0005
+    assert config.OPTIM.NUM_ITERATIONS == 100
+    # no hparams -> per-phase table untouched
+    args0 = rmc.parser.parse_args(
+        ["--root", str(tmp_path / "d2"), "--runs", str(tmp_path / "r2")]
+    )
+    assert rmc.phase_config(args0, "question_coding", 100).ALPHA == 100.0
