@@ -208,6 +208,13 @@ def main(args):
     # most exactly when the self-check mismatches.
     json.dump(artifact, open(args.output, "w"), indent=2)
     logger.info("artifact written to %s", args.output)
+    print(json.dumps({
+        "artifact": args.output,
+        "backend": artifact["backend"]["platform"],
+        "fused_pallas_path": artifact["backend"]["fused_pallas_path"],
+        "eval_seconds_all_phases": artifact["eval_seconds_all_phases"],
+        "self_check_deterministic": artifact.get("self_check_deterministic"),
+    }))
     return 1 if artifact.get("self_check_deterministic") is False else 0
 
 
