@@ -331,13 +331,13 @@ class InferenceEngine:
         pass and run the compiled pipeline. The groups are written straight
         into zero-initialized buffers already in their device dtypes, so
         concatenation, padding, and the f32->bf16 feature conversion happen
-        in one memcpy-sized traversal of the request bytes (the previous
-        concatenate -> pad -> astype chain traversed the full padded batch
-        three times — measurably the dispatcher's capacity bound on a 1-core
-        host, since the padded feature batch is ~100-200 MB at batch 256).
-        Pad rows stay untouched zero pages (np.zeros is lazily mapped).
-        ``count_stats=False`` (warmup) keeps synthetic traffic out of the
-        lifetime qps/padded_slots telemetry."""
+        in one memcpy-sized traversal of the request bytes; the previous
+        concatenate -> pad -> astype chain traversed the ~100-200 MB padded
+        feature batch three times (measured 240 -> 156 ms per 256-request
+        batch on this 1-core host, outputs bitwise identical — PERF.md
+        round 5). Pad rows stay untouched zero pages (np.zeros is lazily
+        mapped). ``count_stats=False`` (warmup) keeps synthetic traffic out
+        of the lifetime qps/padded_slots telemetry."""
         n = sum(g.shape[0] for g in q_groups)
         if rng is None:
             with self._lock:
