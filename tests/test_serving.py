@@ -367,3 +367,22 @@ def test_mesh_engine_buckets_respect_data_axis(engine_setup):
         batch_size=8, num_devices=8,
     )
     assert mesh_engine._buckets == [8]
+
+
+def test_run_padded_groups_equals_concatenated(engine_setup):
+    """The dispatcher's single-pass batch assembly (groups written straight
+    into zero-initialized device-dtype buffers) must give exactly what the
+    same rows give when pre-concatenated and run through _run_padded —
+    heterogeneous group sizes, bucket not filled (pad rows exercised)."""
+    s = engine_setup
+    engine = InferenceEngine.from_checkpoint(
+        s["config"], s["ckpt"], batch_size=8, compute_dtype="float32",
+        decoding="greedy",
+    )
+    q, im = s["questions"], s["images"]
+    rng = jax.random.PRNGKey(3)
+    got = engine._run_padded_groups(
+        [q[:2], q[2:3], q[3:6]], [im[:2], im[2:3], im[3:6]], rng, 8
+    )
+    want = engine._run_padded(q[:6], im[:6], rng, 8)
+    assert got == want
