@@ -118,8 +118,12 @@ def run_stage(name, cmd, extra_env, timeout):
 
 def main(args):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    # Always load the existing ledger: --force means "re-run stages that are
+    # already ok", never "discard every other stage's banked result" (losing
+    # a full ledger to one forced re-run is exactly the failure this driver
+    # exists to prevent).
     evidence = {}
-    if os.path.exists(args.output) and not args.force:
+    if os.path.exists(args.output):
         evidence = json.load(open(args.output))
 
     want = set(args.stages) if args.stages else {n for n, _, _ in STAGES}
