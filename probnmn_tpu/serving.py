@@ -208,6 +208,7 @@ class InferenceEngine:
         # Micro-batching state.
         self._queue: Queue = Queue()
         self._dispatcher: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
         self._running = threading.Event()
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
@@ -327,17 +328,36 @@ class InferenceEngine:
         pad_to: int,
         count_stats: bool = True,
     ) -> List[str]:
+        r"""Synchronous launch + fetch (``predict()`` / ``warmup()`` path);
+        the dispatcher uses the split :meth:`_launch_padded_groups` /
+        :meth:`_finish` pair so batch N+1's host assembly + upload can
+        overlap batch N's device execution."""
+        answers, n = self._launch_padded_groups(
+            q_groups, im_groups, rng, pad_to, count_stats
+        )
+        return self._finish(answers, n)
+
+    def _launch_padded_groups(
+        self,
+        q_groups: List[np.ndarray],
+        im_groups: List[np.ndarray],
+        rng: Optional[jax.Array],
+        pad_to: int,
+        count_stats: bool = True,
+    ):
         r"""Assemble request groups into ONE padded host batch in a single
-        pass and run the compiled pipeline. The groups are written straight
-        into zero-initialized buffers already in their device dtypes, so
-        concatenation, padding, and the f32->bf16 feature conversion happen
-        in one memcpy-sized traversal of the request bytes; the previous
-        concatenate -> pad -> astype chain traversed the ~100-200 MB padded
-        feature batch three times (measured 240 -> 156 ms per 256-request
-        batch on this 1-core host, outputs bitwise identical — PERF.md
-        round 5). Pad rows stay untouched zero pages (np.zeros is lazily
-        mapped). ``count_stats=False`` (warmup) keeps synthetic traffic out
-        of the lifetime qps/padded_slots telemetry."""
+        pass and *dispatch* the compiled pipeline, returning the device-side
+        answers array without blocking on it (JAX dispatch is asynchronous —
+        the fetch happens in :meth:`_finish`). The groups are written
+        straight into zero-initialized buffers already in their device
+        dtypes, so concatenation, padding, and the f32->bf16 feature
+        conversion happen in one memcpy-sized traversal of the request
+        bytes; the previous concatenate -> pad -> astype chain traversed the
+        ~100-200 MB padded feature batch three times (measured 240 -> 156 ms
+        per 256-request batch on this 1-core host, outputs bitwise identical
+        — PERF.md round 5). Pad rows stay untouched zero pages (np.zeros is
+        lazily mapped). ``count_stats=False`` (warmup) keeps synthetic
+        traffic out of the lifetime qps/padded_slots telemetry."""
         n = sum(g.shape[0] for g in q_groups)
         if rng is None:
             with self._lock:
@@ -359,12 +379,17 @@ class InferenceEngine:
         q_dev = jax.device_put(jnp.asarray(q), self._batch_sharding)
         im_dev = jax.device_put(jnp.asarray(im), self._batch_sharding)
         answers, _ = self._pipeline(self._pg_params, q_dev, im_dev, rng)
-        answers = np.asarray(answers)[:n]
         if count_stats:
             with self._lock:
                 self._stats["requests"] += n
                 self._stats["batches"] += 1
                 self._stats["padded_slots"] += pad
+        return answers, n
+
+    def _finish(self, answers: jax.Array, n: int) -> List[str]:
+        r"""Block on the device answers (the only synchronization point of a
+        batch) and detokenize the ``n`` valid rows."""
+        answers = np.asarray(answers)[:n]
         return [
             self._vocabulary.get_token_from_index(int(a), "answers")
             for a in answers
@@ -400,15 +425,36 @@ class InferenceEngine:
             )
 
     # ------------------------------------------------------------ micro-batch
-    def start(self, max_batch_delay: float = 0.005) -> None:
+    def start(
+        self, max_batch_delay: float = 0.005, pipeline_depth: int = 2
+    ) -> None:
         r"""Start the micro-batching dispatcher: queued ``submit()`` requests
         coalesce until the batch fills or ``max_batch_delay`` seconds pass
-        since the oldest queued request."""
+        since the oldest queued request.
+
+        The dispatcher is a two-stage pipeline. A *launcher* thread
+        coalesces, assembles, uploads, and dispatches each batch (JAX
+        dispatch is asynchronous), then hands the in-flight device answers
+        to a *completer* thread that blocks on the result and resolves the
+        futures. Batch N+1's host assembly + H2D upload therefore overlaps
+        batch N's device execution and D2H fetch — on a PCIe host, where
+        batch assembly is the dominant per-cycle host cost (PERF.md round
+        5), the stages run concurrently instead of serializing.
+        ``pipeline_depth`` bounds in-flight device batches (launch blocks
+        when the completion queue is full), capping device memory at
+        ``depth`` padded batches and bounding result staleness;
+        ``pipeline_depth=1`` disables the overlap entirely (single-thread
+        launch-then-fetch, the pre-pipelining behavior — kept selectable so
+        the overlap is A/B measurable)."""
         if self._dispatcher is not None:
             return
         self._running.set()
+        pipelined = pipeline_depth > 1
+        # maxsize gives backpressure: with depth D, at most D batches are
+        # dispatched-but-unfetched (D-1 queued here + 1 inside the completer).
+        completions: Queue = Queue(maxsize=max(1, pipeline_depth - 1))
 
-        def dispatch():
+        def launch():
             # A group pulled off the queue that would overflow the compiled
             # batch is carried to the NEXT cycle — one device batch per cycle,
             # never a second mostly-padded serial predict().
@@ -443,7 +489,7 @@ class InferenceEngine:
                     total += group[0].shape[0]
                 # Batch assembly stays inside the try: one mis-shaped request
                 # must fail its batch's futures, not kill the dispatcher
-                # thread (which would hang every later submit() forever).
+                # threads (which would hang every later submit() forever).
                 try:
                     # Groups are written straight into the padded device-dtype
                     # buffer (no intermediate concatenate), padded to the
@@ -451,42 +497,79 @@ class InferenceEngine:
                     # full batch: at low load this cuts the padded upload +
                     # device compute by batch_size/bucket (the request path's
                     # latency floor).
-                    answers = (
-                        self._run_padded_groups(
+                    if total:
+                        answers, n = self._launch_padded_groups(
                             [p[0] for p in pending], [p[1] for p in pending],
                             None, self.bucket_for(total),
                         )
-                        if total else []
-                    )
+                    else:
+                        answers, n = None, 0
                 except BaseException as e:
                     for p in pending:
                         for fut in p[2]:
                             fut.set_exception(e)
                     self._note_dequeued(total)
                     continue
-                done = time.monotonic()
-                latencies = []
-                cursor = 0
+                if pipelined:
+                    completions.put((answers, n, pending, total))
+                else:
+                    resolve(answers, n, pending, total)
+            if pipelined:
+                completions.put(None)  # wake + stop the completer
+
+        def resolve(answers, n, pending, total):
+            # Fetch the device answers (the batch's only sync point) and
+            # resolve its futures; shared by the completer thread and the
+            # depth-1 synchronous path.
+            try:
+                resolved = self._finish(answers, n) if n else []
+            except BaseException as e:
                 for p in pending:
-                    n = p[0].shape[0]
-                    latencies.extend([done - p[3]] * n)
-                    for fut, answer in zip(p[2], answers[cursor:cursor + n]):
-                        fut.set_result(answer)
-                    cursor += n
-                with self._lock:
-                    self._latencies.extend(latencies)
+                    for fut in p[2]:
+                        fut.set_exception(e)
                 self._note_dequeued(total)
+                return
+            done = time.monotonic()
+            latencies = []
+            cursor = 0
+            for p in pending:
+                k = p[0].shape[0]
+                latencies.extend([done - p[3]] * k)
+                for fut, answer in zip(p[2], resolved[cursor:cursor + k]):
+                    fut.set_result(answer)
+                cursor += k
+            with self._lock:
+                self._latencies.extend(latencies)
+            self._note_dequeued(total)
+
+        def complete():
+            while True:
+                item = completions.get()
+                if item is None:
+                    return
+                resolve(*item)
 
         self._dispatcher = threading.Thread(
-            target=dispatch, daemon=True, name="probnmn-serving-dispatcher"
+            target=launch, daemon=True, name="probnmn-serving-launcher"
         )
         self._dispatcher.start()
+        if pipelined:
+            self._completer = threading.Thread(
+                target=complete, daemon=True, name="probnmn-serving-completer"
+            )
+            self._completer.start()
 
     def stop(self) -> None:
         if self._dispatcher is None:
             return
         self._running.clear()
-        self._dispatcher.join(timeout=5)
+        # The launcher exits within its 50 ms poll (or after the in-flight
+        # cycle) and enqueues the completer's stop sentinel behind any
+        # still-in-flight batches, so completion drains before join returns.
+        self._dispatcher.join(timeout=30)
+        if self._completer is not None:
+            self._completer.join(timeout=30)
+            self._completer = None
         self._dispatcher = None
 
     def submit(self, question: np.ndarray, image: np.ndarray) -> Future:

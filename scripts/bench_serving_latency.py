@@ -40,6 +40,9 @@ parser.add_argument("--loads", type=float, nargs="*", default=[0.5, 0.9])
 parser.add_argument("--duration", type=float, default=10.0)
 parser.add_argument("--measure-seconds", type=float, default=5.0)
 parser.add_argument("--max-batch-delay", type=float, default=0.005)
+parser.add_argument("--pipeline-depth", type=int, default=2,
+                    help="Dispatcher in-flight batches (1 = synchronous, "
+                    "2 = assembly/upload overlapped with execution).")
 parser.add_argument("--feeders", type=int, default=4)
 parser.add_argument("--out", default="", help="Append JSON lines here too.")
 
@@ -175,11 +178,13 @@ def main(args):
     # Warm EVERY bucket's executable before any timing (a live compile inside
     # the measured window would dominate every percentile).
     engine.warmup(question_length=args.question_length)
-    engine.start(max_batch_delay=args.max_batch_delay)
+    engine.start(max_batch_delay=args.max_batch_delay,
+                 pipeline_depth=args.pipeline_depth)
 
     capacity = measure_capacity(engine, args, question, image)
     results = [{"metric": "dispatcher_capacity_qps", "value": round(capacity, 1),
                 "batch_size": args.batch_size,
+                "pipeline_depth": args.pipeline_depth,
                 "feature_channels": args.feature_channels}]
     print(json.dumps(results[0]))
 

@@ -58,6 +58,9 @@ parser.add_argument("--num-devices", type=int, default=None)
 parser.add_argument("--compilation-cache-dir", default=None)
 parser.add_argument("--max-batch-delay", type=float, default=0.005,
                     help="Dispatcher coalescing window (seconds).")
+parser.add_argument("--pipeline-depth", type=int, default=2,
+                    help="In-flight device batches: 2 overlaps batch N+1's "
+                    "assembly+upload with batch N's execution; 1 = no overlap.")
 parser.add_argument("--features-h5", default="",
                     help="H5 with a (N, C, H, W) 'features' dataset for "
                     "image_index requests (default: config DATA.TEST_FEATURES).")
@@ -104,7 +107,8 @@ class ServingContext:
             logger.warning(
                 "features H5 %s not found — only inline-'features' requests "
                 "will be served", features_path)
-        self.engine.start(max_batch_delay=args.max_batch_delay)
+        self.engine.start(max_batch_delay=args.max_batch_delay,
+                          pipeline_depth=args.pipeline_depth)
 
     # ---------------------------------------------------------------- request
     def parse(self, payload: dict):

@@ -369,6 +369,33 @@ def test_mesh_engine_buckets_respect_data_axis(engine_setup):
     assert mesh_engine._buckets == [8]
 
 
+def test_dispatcher_pipelined_matches_sync(engine_setup):
+    """The two-stage dispatcher (pipeline_depth=2: launcher assembles +
+    dispatches batch N+1 while the completer blocks on batch N) must resolve
+    every future to exactly what the synchronous depth-1 dispatcher — and
+    predict() — gives for the same rows, across several back-to-back batches
+    (the overlap window). Greedy decode for a well-defined comparison; also
+    exercises stop()/start() restart between depths."""
+    s = engine_setup
+    engine = InferenceEngine.from_checkpoint(
+        s["config"], s["ckpt"], batch_size=4, compute_dtype="float32",
+        decoding="greedy",
+    )
+    q, im = s["questions"], s["images"]
+    want = engine.predict(q, im)  # two device batches of 4
+    got = {}
+    for depth in (1, 2):
+        engine.start(max_batch_delay=0.01, pipeline_depth=depth)
+        try:
+            futures = [engine.submit(q[i], im[i]) for i in range(8)]
+            got[depth] = [f.result(timeout=60) for f in futures]
+        finally:
+            engine.stop()
+        assert engine.stats()["queue_depth"] == 0
+    assert got[1] == want
+    assert got[2] == want
+
+
 def test_run_padded_groups_equals_concatenated(engine_setup):
     """The dispatcher's single-pass batch assembly (groups written straight
     into zero-initialized device-dtype buffers) must give exactly what the
