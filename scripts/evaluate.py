@@ -31,6 +31,12 @@ parser.add_argument(
     "('auto' = $PROBNMN_COMPILATION_CACHE or ~/.cache/probnmn_tpu/xla).",
 )
 parser.add_argument("--cpu-workers", type=int, default=0)
+parser.add_argument(
+    "--streaming-features",
+    action="store_true",
+    help="Stream image features from the H5 store instead of loading it into "
+    "RAM (module_training / joint_training phases only).",
+)
 parser.add_argument("--checkpoint-path", required=True)
 parser.add_argument(
     "--num-devices", type=int, default=1,
@@ -62,11 +68,16 @@ def main(args):
     np.random.seed(config.RANDOM_SEED)
 
     serialization_dir = os.path.dirname(args.checkpoint_path) or "/tmp/probnmn_eval"
+    feature_kwargs = (
+        {"in_memory_features": not args.streaming_features}
+        if args.phase in ("module_training", "joint_training")
+        else {}
+    )
     trainer = TRAINERS[args.phase](
         config, serialization_dir=serialization_dir, cpu_workers=args.cpu_workers,
-        num_devices=args.num_devices,
+        num_devices=args.num_devices, **feature_kwargs,
     )
-    evaluator = EVALUATORS[args.phase](config, trainer)
+    evaluator = EVALUATORS[args.phase](config, trainer, **feature_kwargs)
     trainer.load_checkpoint(args.checkpoint_path)
 
     val_metrics = evaluator.evaluate()

@@ -34,6 +34,12 @@ parser.add_argument(
     "('auto' = $PROBNMN_COMPILATION_CACHE or ~/.cache/probnmn_tpu/xla).",
 )
 parser.add_argument("--cpu-workers", type=int, default=0)
+parser.add_argument(
+    "--streaming-features",
+    action="store_true",
+    help="Stream test-split image features from the H5 store instead of "
+    "loading it into RAM.",
+)
 parser.add_argument("--checkpoint-path", required=True)
 parser.add_argument(
     "--num-devices", type=int, default=1,
@@ -67,7 +73,10 @@ def main(args):
     config = Config(args.config_yml, args.config_override)
     np.random.seed(config.RANDOM_SEED)
 
-    dataset = JointTrainingDataset(config.DATA.TEST_TOKENS, config.DATA.TEST_FEATURES)
+    dataset = JointTrainingDataset(
+        config.DATA.TEST_TOKENS, config.DATA.TEST_FEATURES,
+        in_memory=not args.streaming_features,
+    )
     # include_last: the predictions JSON must cover EVERY test example (an
     # incomplete CLEVR submission is unusable); the engine pads the tail
     # partial batch to its compiled batch size internally.

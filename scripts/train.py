@@ -76,6 +76,16 @@ parser.add_argument(
     "$PROBNMN_COMPILATION_CACHE / ~/.cache/probnmn_tpu/xla when given as "
     "'auto'): later runs skip the multi-second first-step compile.",
 )
+parser.add_argument(
+    "--streaming-features",
+    action="store_true",
+    help="Stream image features from the H5 store (in_memory=False readers + "
+    "background chunked prefetch) instead of loading the full store into RAM. "
+    "Required at the reference's 50-100 GB feature-store scale (reference "
+    "readers.py:86); per-step losses are identical to in-memory and the "
+    "prefetch hides disk behind compute (PERF.md round-5 H5-streaming note). "
+    "Only module_training / joint_training read features.",
+)
 parser.add_argument("--cpu-workers", type=int, default=0)
 parser.add_argument("--serialization-dir", default="checkpoints/experiment")
 parser.add_argument("--checkpoint-every", type=int, default=500)
@@ -121,11 +131,19 @@ def main(args):
     # (reference train.py:104-110).
     np.random.seed(config.RANDOM_SEED)
 
+    # Only the feature-reading phases accept the switch (program_prior /
+    # question_coding never open a features H5).
+    feature_kwargs = (
+        {"in_memory_features": not args.streaming_features}
+        if args.phase in ("module_training", "joint_training")
+        else {}
+    )
     trainer = TRAINERS[args.phase](
         config, serialization_dir=args.serialization_dir, cpu_workers=args.cpu_workers,
         num_devices=args.num_devices, model_parallel=args.model_parallel,
+        **feature_kwargs,
     )
-    evaluator = EVALUATORS[args.phase](config, trainer)
+    evaluator = EVALUATORS[args.phase](config, trainer, **feature_kwargs)
 
     if args.start_from_checkpoint:
         trainer.load_checkpoint(args.start_from_checkpoint)

@@ -185,6 +185,53 @@ def test_inference_script(pipeline, tmp_path):
     assert {"question_index", "answer"} <= set(predictions[0].keys())
 
 
+def test_train_script_streaming_features(pipeline, monkeypatch):
+    """scripts/train.py --streaming-features end-to-end: the flag must plumb
+    in_memory_features=False into the feature-reading trainer AND evaluator,
+    and a short module_training run must complete (steps + validation +
+    checkpoint) with the streaming readers (reference operates at 50-100 GB
+    feature stores, readers.py:86 — in_memory=True is not an option there)."""
+    root = pipeline["root"]
+    assert pipeline.get("qc_trained")
+    from scripts import train as train_script
+
+    config_path = os.path.join(root, "mt_stream_config.yml")
+    make_fixture_config(
+        root, "module_training", ["OPTIM.NUM_ITERATIONS", 2]
+    ).dump(config_path)
+    serialization_dir = os.path.join(root, "mt_stream_run")
+
+    seen = {"trainer": None, "evaluator": None}
+    orig_trainer = train_script.TRAINERS["module_training"]
+    orig_evaluator = train_script.EVALUATORS["module_training"]
+
+    class SpyTrainer(orig_trainer):
+        def __init__(self, *a, **kw):
+            seen["trainer"] = kw.get("in_memory_features")
+            super().__init__(*a, **kw)
+
+    class SpyEvaluator(orig_evaluator):
+        def __init__(self, *a, **kw):
+            seen["evaluator"] = kw.get("in_memory_features")
+            super().__init__(*a, **kw)
+
+    monkeypatch.setitem(train_script.TRAINERS, "module_training", SpyTrainer)
+    monkeypatch.setitem(train_script.EVALUATORS, "module_training", SpyEvaluator)
+
+    args = train_script.parser.parse_args([
+        "--phase", "module_training",
+        "--config-yml", config_path,
+        "--serialization-dir", serialization_dir,
+        "--checkpoint-every", "2",
+        "--num-val-batches", "1",
+        "--streaming-features",
+    ])
+    train_script.main(args)
+    assert seen["trainer"] is False
+    assert seen["evaluator"] is False
+    assert os.path.exists(os.path.join(serialization_dir, "checkpoint_best.ckpt"))
+
+
 def test_evaluate_script(pipeline):
     """scripts/evaluate.py end-to-end: loads a checkpoint, runs the val split;
     also exercises --compilation-cache-dir (persistent XLA cache wiring)."""
