@@ -14,6 +14,8 @@ Stages (in order; each is a subprocess so backends don't leak between them):
   train_random     bench_train_step --regime random
   decompose        bench_joint_decompose (per-component slopes)
   serving_latency  bench_serving_latency (p50/p95/p99 under offered load)
+  http_latency     bench_http_latency (scripts/serve.py end-to-end /predict
+                   wall latency at 1024-ch scale, chip)
   beam             bench_beam (beam decode cost vs greedy/sampling)
   dot_packing      bench_dot_packing (conv formulation roofline: ninedot/
                    bigdot/twopack at production geometry)
@@ -53,6 +55,9 @@ STAGES = [
     ("train_random", [PY, "scripts/bench_train_step.py", "--regime", "random"], {}),
     ("decompose", [PY, "scripts/bench_joint_decompose.py"], {}),
     ("serving_latency", [PY, "scripts/bench_serving_latency.py"], {}),
+    # End-to-end HTTP /predict wall latency through scripts/serve.py at
+    # 1024-channel scale (PERF.md round 5 "HTTP front-end" numbers).
+    ("http_latency", [PY, "scripts/bench_http_latency.py"], {}),
     ("beam", [PY, "scripts/bench_beam.py"], {}),
     ("dot_packing",
      [PY, "scripts/bench_dot_packing.py",
